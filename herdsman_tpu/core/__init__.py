@@ -1,0 +1,7 @@
+from herdsman_tpu.core.params import (  # noqa: F401
+    TFHEParams,
+    TOY,
+    TEST_SMALL,
+    STD128,
+    PARAM_SETS,
+)

@@ -1,0 +1,150 @@
+"""TFHE parameter sets for the TPU-native stack.
+
+The scheme is TFHE/CGGI gate bootstrapping over the discretized torus
+Z_q with q = 2^32 (TFHE-rs-style power-of-two modulus). q = 2^32 is the
+TPU-native choice: all torus arithmetic is exact uint32/int32 wraparound, so
+no NTT-unfriendly modular reduction appears anywhere on the hot path, and
+negacyclic polynomial products ride the MXU as int8-limb matmuls.
+
+The reference coordinator (herd-fhe/herdsman) delegates all FHE math to
+OpenFHE binfhe on its workers (reference CMakeLists.txt:210-211, worker rpc
+contract at src/execution/worker/grpc/grpc_worker_group.cpp:85-94); this module
+is the root of the stack that replaces that worker herd with device kernels.
+
+Conventions
+-----------
+- Torus elements are uint32; value x represents x / 2^32 in [0, 1).
+- LWE ciphertext: array [..., n+1], mask first, body last
+  (b = <a, s> + m + e mod 2^32).
+- GLWE ciphertext: array [..., k+1, N] over R = Z_q[X]/(X^N + 1),
+  mask polys first, body poly last.
+- GGSW ciphertext: array [..., (k+1)*l, k+1, N]; row (j, i) encrypts
+  -s_j * m * q/Bg^(i+1) for j < k and m * q/Bg^(i+1) for j = k,
+  rows ordered j-major, level i MSB-first.
+- Secret keys are uniform binary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class TFHEParams:
+    """One TFHE gate-bootstrapping parameter set (q = 2^32 fixed)."""
+
+    name: str
+
+    # LWE (the small, gate-level ciphertexts)
+    n: int                  # LWE dimension
+    lwe_std: float          # absolute noise std-dev (torus units of 2^32)
+
+    # GLWE (the bootstrapping accumulator ring)
+    N: int                  # polynomial degree, power of two
+    k: int                  # GLWE dimension
+    glwe_std: float         # absolute noise std-dev
+
+    # Bootstrapping-key gadget decomposition (signed, balanced digits)
+    bg_bits: int            # log2(Bg)
+    levels: int             # decomposition levels l
+
+    # Key-switching-key decomposition (unsigned digits)
+    ks_base_bits: int       # log2(base)
+    ks_levels: int
+
+    # Documented security estimate for the set (informational)
+    security_bits: int = 0
+
+    @property
+    def q_bits(self) -> int:
+        return 32
+
+    @property
+    def Bg(self) -> int:
+        return 1 << self.bg_bits
+
+    @property
+    def ks_base(self) -> int:
+        return 1 << self.ks_base_bits
+
+    @property
+    def kN(self) -> int:
+        """Dimension of the LWE ciphertext extracted from a GLWE sample."""
+        return self.k * self.N
+
+    @property
+    def two_N(self) -> int:
+        return 2 * self.N
+
+    @property
+    def log2_2N(self) -> int:
+        return int(math.log2(2 * self.N))
+
+    def __post_init__(self) -> None:
+        assert self.N & (self.N - 1) == 0, "N must be a power of two"
+        assert self.bg_bits * self.levels <= 32
+        assert self.ks_base_bits * self.ks_levels <= 32
+        assert self.Bg <= 256, "signed digits must fit int8 for MXU matmuls"
+        assert self.ks_base <= 256, "KS digits must fit int8 for MXU matmuls"
+
+
+# Tiny, insecure, math-identical set for fast unit tests. The decomposition /
+# rotation / extraction logic has zero parameter-dependent branches, so
+# bit-exactness at TOY scale implies it at production scale.
+TOY = TFHEParams(
+    name="toy",
+    n=16,
+    lwe_std=0.5,            # essentially noiseless: exactness tests
+    N=64,
+    k=1,
+    glwe_std=0.5,
+    bg_bits=6,
+    levels=3,
+    ks_base_bits=4,
+    ks_levels=3,
+    security_bits=0,
+)
+
+# Small set with real (but reduced) noise, large enough to exercise every
+# alignment path (N >= 256 keeps lane-dim tiling honest) while staying fast
+# under pytest on CPU.
+TEST_SMALL = TFHEParams(
+    name="test_small",
+    n=128,
+    lwe_std=2.0,
+    N=256,
+    k=1,
+    glwe_std=2.0,
+    bg_bits=7,
+    levels=3,
+    ks_base_bits=3,
+    ks_levels=5,
+    security_bits=0,
+)
+
+# Production set, 128-bit-class security (CGGI gate bootstrapping).
+# Magnitudes track the classic TFHE boolean parameterizations at q = 2^32:
+#   - LWE n = 768, sigma/q = 2^-18  (absolute sigma = 2^14)
+#   - GLWE N = 1024, k = 1, sigma/q = 2^-25 (absolute sigma = 128)
+#   - PBS decomposition Bg = 2^7, l = 3 (21 bits)
+#   - KS  decomposition base = 2^3, l = 5 (15 bits)
+# Predicted bootstrap output noise std ~ 2^-8.7 * q against a decision margin
+# of q/16 (~26 sigma) — see tests/test_noise.py which measures this
+# empirically.  n is a multiple of 128 so the key-switch matmul tiles cleanly
+# on the MXU.
+STD128 = TFHEParams(
+    name="std128",
+    n=768,
+    lwe_std=float(2 ** 14),
+    N=1024,
+    k=1,
+    glwe_std=128.0,
+    bg_bits=7,
+    levels=3,
+    ks_base_bits=3,
+    ks_levels=5,
+    security_bits=128,
+)
+
+PARAM_SETS = {p.name: p for p in (TOY, TEST_SMALL, STD128)}

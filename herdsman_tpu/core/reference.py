@@ -1,0 +1,428 @@
+"""Exact-integer NumPy reference implementation of TFHE gate bootstrapping.
+
+This is the bit-exactness anchor for the whole stack: every device kernel in
+``herdsman_tpu.ops`` must reproduce these functions exactly (all operations are
+integer arithmetic mod 2^32 — there is no floating point on the ciphertext
+path, so "bit-exact" is well-defined and testable with array equality).
+
+It also serves as the *client-side* implementation (key generation, encryption
+and decryption happen on the host in the HERD model: the reference coordinator
+only ever stores and routes ciphertexts, see SURVEY.md §2; clients encrypt with
+the sibling `herd` library which is not vendored, reference .gitmodules and
+SURVEY.md §2.5).
+
+The gate-evaluation semantics replace the reference's worker contract
+`Worker::{map,reduce}` (reference src/execution/worker/grpc/grpc_worker_group.cpp:85-94)
+whose workers evaluate boolean circuits with OpenFHE binfhe
+(reference CMakeLists.txt:210-211).
+
+All arrays are ``np.uint32`` unless stated otherwise; Python-int scalars are
+cast before combining so numpy wraparound semantics stay exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from herdsman_tpu.core.params import TFHEParams
+
+U32 = np.uint32
+I64 = np.int64
+
+
+# ---------------------------------------------------------------------------
+# Polynomial arithmetic over R_q = Z_{2^32}[X] / (X^N + 1)
+# ---------------------------------------------------------------------------
+
+def negacyclic_polymul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Negacyclic product of two degree-<N polynomials, coefficients mod 2^32.
+
+    Schoolbook reference; correctness anchor for the MXU Toeplitz kernels.
+    Supports leading batch dims on ``a`` and/or ``b`` (broadcast).
+    """
+    a = np.asarray(a, dtype=U32)
+    b = np.asarray(b, dtype=U32)
+    N = a.shape[-1]
+    assert b.shape[-1] == N
+    # c_k = sum_{i+j=k} a_i b_j - sum_{i+j=k+N} a_i b_j  (mod 2^32)
+    out_shape = np.broadcast_shapes(a.shape[:-1], b.shape[:-1]) + (N,)
+    a = np.broadcast_to(a, out_shape).reshape(-1, N)
+    b = np.broadcast_to(b, out_shape).reshape(-1, N)
+    res = np.zeros_like(a)
+    for i in range(N):
+        # a_i * b shifted by i with negacyclic wrap
+        ai = a[:, i : i + 1]
+        prod = ai * b  # uint32 wraparound
+        res[:, i:] += prod[:, : N - i]
+        res[:, :i] -= prod[:, N - i :]
+    return res.reshape(out_shape)
+
+
+def negacyclic_monomial_mul(p: np.ndarray, r: np.ndarray) -> np.ndarray:
+    """X^r * p in R_q, r in [0, 2N). Batched: p [..., N], r [...] (broadcast).
+
+    X^N = -1, so rotation by r >= N negates the wrapped-around part twice.
+    """
+    p = np.asarray(p, dtype=U32)
+    r = np.asarray(r)
+    N = p.shape[-1]
+    out_shape = np.broadcast_shapes(p.shape[:-1], r.shape) + (N,)
+    p = np.broadcast_to(p, out_shape).reshape(-1, N)
+    r = np.broadcast_to(r, out_shape[:-1]).reshape(-1)
+    res = np.empty_like(p)
+    for row in range(p.shape[0]):
+        rr = int(r[row]) % (2 * N)
+        sign_flip = rr >= N
+        s = rr % N
+        rolled = np.roll(p[row], s)
+        if s:
+            rolled[:s] = U32(0) - rolled[:s]  # wrapped coeffs pick up X^N = -1
+        if sign_flip:
+            rolled = U32(0) - rolled
+        res[row] = rolled
+    return res.reshape(out_shape)
+
+
+# ---------------------------------------------------------------------------
+# Gadget decomposition
+# ---------------------------------------------------------------------------
+
+def signed_decompose(x: np.ndarray, bg_bits: int, levels: int) -> np.ndarray:
+    """Balanced signed base-2^bg_bits decomposition (closed form, carry-free).
+
+    Returns int32 digits with shape x.shape + (levels,), level 0 is the most
+    significant (scale q / Bg).  digit in [-Bg/2, Bg/2).  Reconstruction:
+    sum_i d_i * q / Bg^(i+1) == round(x / q * Bg^levels) * q / Bg^levels
+    (mod q).
+
+    Closed form: round to the top W = bg_bits*levels bits, add the balanced
+    offset sum_i (Bg/2) Bg^i, then read unsigned digits and subtract Bg/2.
+    The offset overflow past W bits contributes a multiple of q, i.e. 0.
+    """
+    x = np.asarray(x, dtype=U32)
+    W = bg_bits * levels
+    Bg = 1 << bg_bits
+    half = Bg >> 1
+    if W < 32:  # round-to-nearest at the W-bit cut
+        v = (x + U32(1 << (32 - W - 1))) >> U32(32 - W)
+    else:
+        v = x
+    offset = sum(half << (bg_bits * i) for i in range(levels))
+    w = v + U32(offset)
+    shifts = np.array(
+        [bg_bits * (levels - 1 - j) for j in range(levels)], dtype=U32
+    )
+    digits = (w[..., None] >> shifts) & U32(Bg - 1)
+    return digits.astype(np.int32) - np.int32(half)
+
+
+def unsigned_decompose(x: np.ndarray, base_bits: int, levels: int) -> np.ndarray:
+    """Unsigned base-2^base_bits decomposition with rounding (for key switch).
+
+    Returns int32 digits in [0, base), shape x.shape + (levels,), level 0 most
+    significant (scale q / base).
+    """
+    x = np.asarray(x, dtype=U32)
+    W = base_bits * levels
+    if W < 32:
+        v = (x + U32(1 << (32 - W - 1))) >> U32(32 - W)
+    else:
+        v = x
+    shifts = np.array(
+        [base_bits * (levels - 1 - j) for j in range(levels)], dtype=U32
+    )
+    digits = (v[..., None] >> shifts) & U32((1 << base_bits) - 1)
+    return digits.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Keys
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ClientKey:
+    params: TFHEParams
+    lwe_key: np.ndarray    # [n] uint32 in {0,1}
+    glwe_key: np.ndarray   # [k, N] uint32 in {0,1}
+
+    @property
+    def extracted_key(self) -> np.ndarray:
+        """The kN-dim LWE key implied by sample extraction (coeff order)."""
+        return self.glwe_key.reshape(-1)
+
+
+@dataclasses.dataclass
+class ServerKey:
+    """Evaluation key material (what the reference stores per session via its
+    KeyService, reference src/service/key_service.cpp:19-44)."""
+
+    params: TFHEParams
+    bsk: np.ndarray        # [n, (k+1)*l, k+1, N] uint32 — GGSW(s_lwe[i])
+    ksk: np.ndarray        # [kN, ks_levels, n+1] uint32 — LWE_n(s_ext[j] q/b^(t+1))
+
+
+def _gaussian_u32(rng: np.random.Generator, std: float, shape) -> np.ndarray:
+    """Centered rounded-Gaussian noise as uint32 (two's complement wrap)."""
+    e = np.rint(rng.normal(0.0, std, size=shape)).astype(I64)
+    return (e & 0xFFFFFFFF).astype(U32)
+
+
+def keygen(params: TFHEParams, rng: np.random.Generator) -> tuple[ClientKey, ServerKey]:
+    p = params
+    lwe_key = rng.integers(0, 2, size=p.n, dtype=np.uint32)
+    glwe_key = rng.integers(0, 2, size=(p.k, p.N), dtype=np.uint32)
+    ck = ClientKey(p, lwe_key, glwe_key)
+
+    # Bootstrapping key: GGSW(s_lwe[i]) under glwe_key
+    bsk = np.empty((p.n, (p.k + 1) * p.levels, p.k + 1, p.N), dtype=U32)
+    for i in range(p.n):
+        bsk[i] = ggsw_encrypt(ck, int(lwe_key[i]), rng)
+
+    # Key-switching key: LWE_n(s_ext[j] * q / base^(t+1))
+    s_ext = ck.extracted_key.astype(I64)
+    ksk = np.empty((p.kN, p.ks_levels, p.n + 1), dtype=U32)
+    for t in range(p.ks_levels):
+        scale = I64(1) << I64(32 - p.ks_base_bits * (t + 1))
+        msgs = ((s_ext * scale) & 0xFFFFFFFF).astype(U32)  # [kN]
+        ksk[:, t, :] = lwe_encrypt_raw(ck, msgs, rng)
+    return ck, ServerKey(p, bsk, ksk)
+
+
+# ---------------------------------------------------------------------------
+# LWE
+# ---------------------------------------------------------------------------
+
+def lwe_encrypt_raw(
+    ck: ClientKey, mu: np.ndarray, rng: np.random.Generator
+) -> np.ndarray:
+    """Encrypt torus values mu [..."] -> ct [..., n+1] under the n-LWE key."""
+    p = ck.params
+    mu = np.asarray(mu, dtype=U32)
+    a = rng.integers(0, 1 << 32, size=mu.shape + (p.n,), dtype=np.uint64).astype(U32)
+    e = _gaussian_u32(rng, p.lwe_std, mu.shape)
+    b = (a * ck.lwe_key).sum(axis=-1, dtype=U32) + mu + e
+    return np.concatenate([a, b[..., None]], axis=-1)
+
+
+def lwe_phase(key: np.ndarray, ct: np.ndarray) -> np.ndarray:
+    """b - <a, s> mod 2^32 for ct [..., dim+1] under binary key [dim]."""
+    a = ct[..., :-1]
+    b = ct[..., -1]
+    return b - (a * key).sum(axis=-1, dtype=U32)
+
+
+def lwe_decrypt_bool(ck: ClientKey, ct: np.ndarray) -> np.ndarray:
+    """Decode the boolean +-q/8 encoding: True iff phase in (0, q/2)."""
+    ph = lwe_phase(ck.lwe_key, ct)
+    return ph.astype(np.int32) > 0
+
+
+BOOL_MU = U32(1 << 29)            # q/8
+NEG_BOOL_MU = U32((1 << 32) - (1 << 29))  # -q/8 mod 2^32
+
+
+def encrypt_bool(
+    ck: ClientKey, bits: np.ndarray, rng: np.random.Generator
+) -> np.ndarray:
+    bits = np.asarray(bits)
+    mu = np.where(bits, BOOL_MU, NEG_BOOL_MU).astype(U32)
+    return lwe_encrypt_raw(ck, mu, rng)
+
+
+# ---------------------------------------------------------------------------
+# GLWE / GGSW
+# ---------------------------------------------------------------------------
+
+def glwe_encrypt(
+    ck: ClientKey, msg_poly: np.ndarray, rng: np.random.Generator
+) -> np.ndarray:
+    """GLWE ct [k+1, N] of message polynomial [N] (already torus-scaled)."""
+    p = ck.params
+    a = rng.integers(0, 1 << 32, size=(p.k, p.N), dtype=np.uint64).astype(U32)
+    e = _gaussian_u32(rng, p.glwe_std, (p.N,))
+    b = np.asarray(msg_poly, dtype=U32) + e
+    for j in range(p.k):
+        b = b + negacyclic_polymul(a[j], ck.glwe_key[j])
+    return np.concatenate([a, b[None, :]], axis=0)
+
+
+def glwe_phase(ck: ClientKey, ct: np.ndarray) -> np.ndarray:
+    p = ck.params
+    b = ct[..., p.k, :].copy()
+    for j in range(p.k):
+        b = b - negacyclic_polymul(ct[..., j, :], ck.glwe_key[j])
+    return b
+
+
+def ggsw_encrypt(ck: ClientKey, m: int, rng: np.random.Generator) -> np.ndarray:
+    """GGSW ct [(k+1)*l, k+1, N] of small integer m (typically a key bit)."""
+    p = ck.params
+    rows = []
+    for j in range(p.k + 1):
+        for lev in range(p.levels):
+            scale = I64(1) << I64(32 - p.bg_bits * (lev + 1))
+            factor = (I64(m) * scale) & 0xFFFFFFFF
+            msg = np.zeros(p.N, dtype=U32)
+            if j < p.k:
+                # encrypts -s_j * m * q/Bg^(lev+1)
+                msg = (
+                    (I64(0) - I64(factor)) * ck.glwe_key[j].astype(I64)
+                ) & 0xFFFFFFFF
+                msg = msg.astype(U32)
+            else:
+                msg[0] = U32(factor)
+            rows.append(glwe_encrypt(ck, msg, rng))
+    return np.stack(rows, axis=0)
+
+
+def external_product(
+    params: TFHEParams, ggsw: np.ndarray, glwe: np.ndarray
+) -> np.ndarray:
+    """GGSW boxdot GLWE -> GLWE (approximately m * glwe). Exact integer ops."""
+    p = params
+    # Decompose all k+1 polys: [k+1, N, levels] -> rows [(k+1)*l, N]
+    digits = signed_decompose(glwe, p.bg_bits, p.levels)  # [k+1, N, l] int32
+    digits = np.moveaxis(digits, -1, 1).reshape((p.k + 1) * p.levels, p.N)
+    digits_u = digits.astype(U32)  # two's complement view, exact mod q
+    out = np.zeros((p.k + 1, p.N), dtype=U32)
+    for row in range((p.k + 1) * p.levels):
+        for col in range(p.k + 1):
+            out[col] += negacyclic_polymul(digits_u[row], ggsw[row, col])
+    return out
+
+
+def cmux(
+    params: TFHEParams, ggsw_bit: np.ndarray, c0: np.ndarray, c1: np.ndarray
+) -> np.ndarray:
+    """Select c1 if the GGSW-encrypted bit is 1 else c0."""
+    return c0 + external_product(params, ggsw_bit, c1 - c0)
+
+
+# ---------------------------------------------------------------------------
+# Bootstrapping pipeline
+# ---------------------------------------------------------------------------
+
+def mod_switch_2N(params: TFHEParams, ct: np.ndarray) -> np.ndarray:
+    """Round LWE coefficients from q = 2^32 down to 2N (returns int64 in [0,2N))."""
+    shift = 32 - (params.log2_2N + 1)  # keep one extra bit for rounding
+    r = (ct >> U32(shift)).astype(I64)
+    return (r + 1) >> 1 & I64(params.two_N - 1)
+
+
+def make_test_poly(params: TFHEParams, mu: int = int(BOOL_MU)) -> np.ndarray:
+    """Constant test polynomial: all coefficients mu -> sign bootstrap."""
+    return np.full(params.N, U32(mu), dtype=U32)
+
+
+def blind_rotate(
+    sk: ServerKey, ct: np.ndarray, test_poly: np.ndarray
+) -> np.ndarray:
+    """GINX binary blind rotation. ct is a single LWE [n+1]; returns GLWE acc.
+
+    acc starts as the trivial GLWE of X^{-b~} * v and is CMux-stepped by each
+    bootstrapping-key bit:  acc += BSK_i  boxdot  (X^{a~_i} * acc - acc).
+    """
+    p = sk.params
+    tilde = mod_switch_2N(p, ct)          # [n+1] in [0, 2N)
+    a_t, b_t = tilde[:-1], int(tilde[-1])
+    acc = np.zeros((p.k + 1, p.N), dtype=U32)
+    acc[p.k] = negacyclic_monomial_mul(test_poly, (2 * p.N - b_t) % (2 * p.N))
+    for i in range(p.n):
+        rot = negacyclic_monomial_mul(acc, int(a_t[i]))  # X^{a~_i} * acc
+        acc = acc + external_product(p, sk.bsk[i], rot - acc)
+    return acc
+
+
+def sample_extract(params: TFHEParams, glwe: np.ndarray) -> np.ndarray:
+    """Extract coeff 0 as an LWE ct of dimension kN (+ body): [kN+1]."""
+    p = params
+    a_out = np.empty(p.kN, dtype=U32)
+    for j in range(p.k):
+        aj = glwe[j]
+        # phase at X^0: a_j[0]*s_j[0] - sum_{c>=1} a_j[N-c]*s_j[c]
+        a_out[j * p.N] = aj[0]
+        a_out[j * p.N + 1 : (j + 1) * p.N] = U32(0) - aj[:0:-1]
+    b_out = glwe[p.k, 0]
+    return np.concatenate([a_out, np.array([b_out], dtype=U32)])
+
+
+def key_switch(sk: ServerKey, ct: np.ndarray) -> np.ndarray:
+    """Switch an extracted [kN+1] LWE ct down to the n-LWE key: [n+1]."""
+    p = sk.params
+    a, b = ct[:-1], ct[-1]
+    digits = unsigned_decompose(a, p.ks_base_bits, p.ks_levels)  # [kN, t]
+    out = np.zeros(p.n + 1, dtype=U32)
+    out[p.n] = b
+    # out -= sum_{j,t} d_{j,t} * KSK[j,t]
+    contrib = (digits.astype(U32)[..., None] * sk.ksk).sum(axis=(0, 1), dtype=U32)
+    return out - contrib
+
+
+def bootstrap_raw(sk: ServerKey, ct: np.ndarray, test_poly: np.ndarray) -> np.ndarray:
+    """blind_rotate + sample_extract (no key switch): [n+1] -> [kN+1]."""
+    return sample_extract(sk.params, blind_rotate(sk, ct, test_poly))
+
+
+def bootstrap_bool(sk: ServerKey, ct: np.ndarray) -> np.ndarray:
+    """Full sign bootstrap back to the n-LWE key: [n+1] -> [n+1]."""
+    return key_switch(sk, bootstrap_raw(sk, ct, make_test_poly(sk.params)))
+
+
+# ---------------------------------------------------------------------------
+# Boolean gate API (classic TFHE gate linear combinations)
+# ---------------------------------------------------------------------------
+
+def _const(params: TFHEParams, dim: int, mu: int) -> np.ndarray:
+    ct = np.zeros(dim + 1, dtype=U32)
+    ct[dim] = U32(mu & 0xFFFFFFFF)
+    return ct
+
+
+def gate_and(sk: ServerKey, c1: np.ndarray, c2: np.ndarray) -> np.ndarray:
+    p = sk.params
+    return bootstrap_bool(sk, c1 + c2 - _const(p, p.n, int(BOOL_MU)))
+
+
+def gate_or(sk: ServerKey, c1: np.ndarray, c2: np.ndarray) -> np.ndarray:
+    p = sk.params
+    return bootstrap_bool(sk, c1 + c2 + _const(p, p.n, int(BOOL_MU)))
+
+
+def gate_nand(sk: ServerKey, c1: np.ndarray, c2: np.ndarray) -> np.ndarray:
+    p = sk.params
+    return bootstrap_bool(sk, _const(p, p.n, int(BOOL_MU)) - c1 - c2)
+
+
+def gate_nor(sk: ServerKey, c1: np.ndarray, c2: np.ndarray) -> np.ndarray:
+    p = sk.params
+    return bootstrap_bool(sk, U32(0) - (c1 + c2 + _const(p, p.n, int(BOOL_MU))))
+
+
+def gate_xor(sk: ServerKey, c1: np.ndarray, c2: np.ndarray) -> np.ndarray:
+    p = sk.params
+    lin = U32(2) * (c1 + c2) + _const(p, p.n, 1 << 30)  # 2(c1+c2) + q/4
+    return bootstrap_bool(sk, lin)
+
+
+def gate_xnor(sk: ServerKey, c1: np.ndarray, c2: np.ndarray) -> np.ndarray:
+    p = sk.params
+    lin = U32(0) - (U32(2) * (c1 + c2) + _const(p, p.n, 1 << 30))
+    return bootstrap_bool(sk, lin)
+
+
+def gate_not(sk: ServerKey, c1: np.ndarray) -> np.ndarray:
+    return U32(0) - c1
+
+
+def gate_mux(
+    sk: ServerKey, sel: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """sel ? a : b — two raw bootstraps, one key switch (classic TFHE MUX)."""
+    p = sk.params
+    tv = make_test_poly(p)
+    t1 = bootstrap_raw(sk, sel + a - _const(p, p.n, int(BOOL_MU)), tv)
+    t2 = bootstrap_raw(sk, b - sel - _const(p, p.n, int(BOOL_MU)), tv)
+    u = t1 + t2 + _const(p, p.kN, int(BOOL_MU))
+    return key_switch(sk, u)

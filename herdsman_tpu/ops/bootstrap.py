@@ -1,0 +1,183 @@
+"""Batched TFHE gate bootstrapping on device: blind rotation (GINX/CMux),
+sample extraction and key switching — exact uint32 math, bit-identical to
+`core.reference`.
+
+The blind rotation is a `lax.scan` over the n bootstrapping-key bits; each
+step applies, to the whole ciphertext batch at once:
+
+    acc <- acc + BSK_i  (x)  (X^{a~_i} * acc - acc)
+
+The external product's negacyclic polynomial products are evaluated by a
+pluggable engine:
+
+- ``gather_u32``: gather-built Toeplitz + u32 einsum. Correct everywhere
+  (CPU tests), not MXU-friendly.
+- ``conv_i8``: int8-limb correlation via lax.conv — the XLA/MXU path. The
+  Toeplitz structure is expressed as a convolution so XLA's conv lowering
+  feeds the MXU without materializing N x N matrices.
+- ``pallas``: fused Pallas kernel (see ops/pallas/), the TPU flagship path.
+
+Throughput comes from the batch axis: one blind rotation bootstraps B
+ciphertexts, replacing B worker `map` rpcs of the reference coordinator
+(reference src/execution/worker/grpc/grpc_worker_group.cpp:85-94).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from herdsman_tpu.core.params import TFHEParams
+from herdsman_tpu.ops import poly
+from herdsman_tpu.ops.decomp import signed_decompose, unsigned_decompose
+from herdsman_tpu.ops.server_key import DeviceServerKey
+
+U32 = jnp.uint32
+I32 = jnp.int32
+I8 = jnp.int8
+
+BOOL_MU = 1 << 29  # q/8
+
+
+# ---------------------------------------------------------------------------
+# External-product engines
+# ---------------------------------------------------------------------------
+
+def _ep_gather_u32(p: TFHEParams, digits: jax.Array,
+                   bsk_ext_i: jax.Array) -> jax.Array:
+    """digits [B, R, N] i32, bsk_ext_i [R, k+1, 2N] u32 -> [B, k+1, N] u32."""
+    T = poly.negacyclic_toeplitz(bsk_ext_i[..., : p.N])  # [R, k+1, N, N]
+    d = digits.astype(U32)
+    return jnp.einsum("brn,rknc->bkc", d, T)
+
+
+def _ep_conv_i8(p: TFHEParams, digits: jax.Array,
+                bsk_conv_i: jax.Array) -> jax.Array:
+    """Int8-limb MXU engine via conv. bsk_conv_i: [R, (k+1)*4, 2N-1] i8."""
+    d8 = digits.astype(I8)  # [B, R, N]; |digit| <= Bg/2 <= 128
+    out = jax.lax.conv_general_dilated(
+        d8,
+        bsk_conv_i,
+        window_strides=(1,),
+        padding=[(p.N - 1, p.N - 1)],
+        dimension_numbers=("NCH", "IOH", "NCH"),
+        preferred_element_type=I32,
+    )  # [B, (k+1)*4, N] i32
+    out = out.reshape(out.shape[0], p.k + 1, 4, p.N)
+    return poly.from_i32_limb_partials(jnp.moveaxis(out, 2, -1))
+
+
+# engine name -> (fn(params, digits, bsk_i), which key layout it consumes)
+ENGINES: dict[str, tuple[Callable, str]] = {
+    "gather_u32": (_ep_gather_u32, "bsk_ext"),
+    "conv_i8": (_ep_conv_i8, "bsk_conv"),
+}
+
+
+def _register_pallas_engine() -> None:
+    # Imported lazily: pallas engines self-register.
+    from herdsman_tpu.ops.pallas import blind_rotate as _  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap pipeline
+# ---------------------------------------------------------------------------
+
+def mod_switch_2N(p: TFHEParams, ct: jax.Array) -> jax.Array:
+    """Round LWE coords from q=2^32 to 2N: [..., n+1] u32 -> i32 in [0, 2N)."""
+    shift = 32 - (p.log2_2N + 1)
+    r = ct >> U32(shift)
+    return ((r + U32(1)) >> U32(1)).astype(I32) & I32(p.two_N - 1)
+
+
+def blind_rotate_batch(
+    dsk: DeviceServerKey,
+    ct: jax.Array,
+    test_poly: jax.Array,
+    engine: str = "conv_i8",
+) -> jax.Array:
+    """GINX blind rotation of a batch. ct [B, n+1] u32 -> acc [B, k+1, N] u32."""
+    p = dsk.params
+    if engine.startswith("pallas"):
+        _register_pallas_engine()
+    ep, key_layout = ENGINES[engine]
+    bsk = getattr(dsk, key_layout)
+    B = ct.shape[0]
+    tilde = mod_switch_2N(p, ct)  # [B, n+1]
+    a_t = tilde[:, : p.n]
+    b_t = tilde[:, p.n]
+
+    body = poly.negacyclic_monomial_mul(
+        jnp.broadcast_to(test_poly.astype(U32), (B, p.N)),
+        (I32(p.two_N) - b_t) & I32(p.two_N - 1),
+    )
+    acc0 = jnp.concatenate(
+        [jnp.zeros((B, p.k, p.N), dtype=U32), body[:, None, :]], axis=1
+    )
+
+    def step(acc, xs):
+        bsk_i, a_i = xs
+        rot = poly.negacyclic_monomial_mul(acc, a_i[:, None])  # [B, k+1, N]
+        diff = rot - acc
+        digits = signed_decompose(diff, p.bg_bits, p.levels)  # [B,k+1,N,l]
+        digits = jnp.moveaxis(digits, -1, 2).reshape(B, dsk.R, p.N)
+        prod = ep(p, digits, bsk_i)
+        return acc + prod, None
+
+    acc, _ = jax.lax.scan(step, acc0, (bsk, a_t.T))
+    return acc
+
+
+def sample_extract_batch(p: TFHEParams, acc: jax.Array) -> jax.Array:
+    """Extract coeff 0: [B, k+1, N] u32 -> LWE [B, kN+1] u32."""
+    a_polys = acc[:, : p.k, :]  # [B, k, N]
+    first = a_polys[..., :1]
+    rest = jnp.zeros_like(a_polys[..., :0:-1]) - a_polys[..., :0:-1]
+    a_out = jnp.concatenate([first, rest], axis=-1).reshape(acc.shape[0], p.kN)
+    b_out = acc[:, p.k, :1]
+    return jnp.concatenate([a_out, b_out], axis=-1)
+
+
+def key_switch_batch(dsk: DeviceServerKey, ct: jax.Array) -> jax.Array:
+    """Switch extracted LWEs to the n-key: [B, kN+1] u32 -> [B, n+1] u32.
+
+    One int8 MXU matmul: digits [B, kN*t] x ksk_limbs [kN*t, (n+1)*4].
+    """
+    p = dsk.params
+    B = ct.shape[0]
+    a = ct[:, : p.kN]
+    b = ct[:, p.kN]
+    digits = unsigned_decompose(a, p.ks_base_bits, p.ks_levels)  # [B, kN, t]
+    d8 = digits.reshape(B, p.kN * p.ks_levels).astype(I8)
+    partial = jnp.dot(d8, dsk.ksk_limbs, preferred_element_type=I32)
+    partial = partial.reshape(B, p.n + 1, 4)
+    contrib = poly.from_i32_limb_partials(partial)  # [B, n+1] u32
+    out = jnp.zeros((B, p.n + 1), dtype=U32).at[:, p.n].set(b)
+    return out - contrib
+
+
+def make_test_poly(p: TFHEParams, mu: int = BOOL_MU) -> jax.Array:
+    return jnp.full((p.N,), jnp.asarray(mu & 0xFFFFFFFF, dtype=U32))
+
+
+@functools.partial(jax.jit, static_argnames=("engine",))
+def bootstrap_raw_batch(
+    dsk: DeviceServerKey, ct: jax.Array, test_poly: jax.Array,
+    engine: str = "conv_i8",
+) -> jax.Array:
+    """blind rotate + extract (no key switch): [B, n+1] -> [B, kN+1]."""
+    acc = blind_rotate_batch(dsk, ct, test_poly, engine=engine)
+    return sample_extract_batch(dsk.params, acc)
+
+
+@functools.partial(jax.jit, static_argnames=("engine",))
+def bootstrap_bool_batch(
+    dsk: DeviceServerKey, ct: jax.Array, engine: str = "conv_i8"
+) -> jax.Array:
+    """Full sign bootstrap back to the n-LWE key: [B, n+1] -> [B, n+1]."""
+    p = dsk.params
+    raw = bootstrap_raw_batch(dsk, ct, make_test_poly(p), engine=engine)
+    return key_switch_batch(dsk, raw)

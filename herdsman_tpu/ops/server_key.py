@@ -1,0 +1,88 @@
+"""Device-resident evaluation key material and its MXU-friendly layouts.
+
+The host `core.reference.ServerKey` (what the coordinator's KeyService stores
+per session, reference src/service/key_service.cpp:19-44) is re-laid-out at
+upload time into the forms the device engines consume:
+
+- ``bsk_ext``   u32 [n, R, k+1, 2N]      negacyclic-extended BSK polys
+                                          (R = (k+1)*levels GGSW rows),
+                                          ext(p) = concat(p, -p) — a Toeplitz
+                                          row gather table.
+- ``bsk_conv``  i8  [n, R, (k+1)*4, 2N-1] the same keys as int8-limb
+                                          correlation kernels for
+                                          lax.conv (MXU engine): kernel
+                                          [o, row, dx] = limb_j(ext[(N-1-dx)
+                                          mod 2N]) with o = col*4+j.
+- ``ksk_limbs`` i8  [kN*t, (n+1)*4]      key-switching key as int8 limbs for
+                                          one big MXU matmul.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from herdsman_tpu.core.params import TFHEParams
+from herdsman_tpu.core.reference import ServerKey
+
+
+def _np_ext(p: np.ndarray) -> np.ndarray:
+    """concat(p, -p) over the last axis (uint32)."""
+    return np.concatenate([p, (np.uint32(0) - p)], axis=-1)
+
+
+def _np_i8_limbs(x: np.ndarray) -> np.ndarray:
+    """Balanced signed base-256 limbs: [...] u32 -> [..., 4] int8."""
+    u = x.astype(np.uint32) + np.uint32(0x80808080)
+    shifts = np.array([0, 8, 16, 24], dtype=np.uint32)
+    limbs = (u[..., None] >> shifts) & np.uint32(0xFF)
+    return (limbs.astype(np.int32) - 128).astype(np.int8)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceServerKey:
+    params: TFHEParams = dataclasses.field(metadata=dict(static=True))
+    bsk_ext: Any       # u32 [n, R, k+1, 2N]
+    bsk_conv: Any      # i8  [n, R, (k+1)*4, 2N-1]
+    ksk_limbs: Any     # i8  [kN*ks_levels, (n+1)*4]
+    ksk: Any           # u32 [kN, ks_levels, n+1] (fallback engine)
+
+    @property
+    def R(self) -> int:
+        p = self.params
+        return (p.k + 1) * p.levels
+
+
+def device_server_key(sk: ServerKey) -> DeviceServerKey:
+    """Host-side re-layout of the server key into device engine formats."""
+    p = sk.params
+    R = (p.k + 1) * p.levels
+    N = p.N
+    bsk = sk.bsk.reshape(p.n, R, p.k + 1, N)
+    ext = _np_ext(bsk)  # [n, R, k+1, 2N]
+
+    # conv kernel layout: [n, R, k+1, 4, 2N-1] -> merge (k+1, 4) -> out chans
+    dx = np.arange(2 * N - 1)
+    w_idx = (N - 1 - dx) % (2 * N)  # [2N-1]
+    conv_src = ext[..., w_idx]  # [n, R, k+1, 2N-1] u32
+    conv_limbs = _np_i8_limbs(conv_src)  # [n, R, k+1, 2N-1, 4]
+    bsk_conv = (
+        np.moveaxis(conv_limbs, -1, 3)  # [n, R, k+1, 4, 2N-1]
+        .reshape(p.n, R, (p.k + 1) * 4, 2 * N - 1)
+    )
+
+    ksk = sk.ksk  # [kN, t, n+1] u32
+    ksk_limbs = _np_i8_limbs(ksk).reshape(p.kN * p.ks_levels, (p.n + 1) * 4)
+
+    return DeviceServerKey(
+        params=p,
+        bsk_ext=jnp.asarray(ext),
+        bsk_conv=jnp.asarray(bsk_conv),
+        ksk_limbs=jnp.asarray(ksk_limbs),
+        ksk=jnp.asarray(ksk),
+    )

@@ -1,0 +1,36 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Tests run everywhere (CI, dev boxes) without TPU hardware; multi-chip sharding
+tests use the virtual devices. Set HERDSMAN_TPU_TESTS=1 to run the suite on
+real accelerators instead.
+"""
+
+import os
+
+if not os.environ.get("HERDSMAN_TPU_TESTS"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from herdsman_tpu.core import TOY, TEST_SMALL  # noqa: E402
+from herdsman_tpu.core import reference as ref  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def toy_keys():
+    rng = np.random.default_rng(42)
+    ck, sk = ref.keygen(TOY, rng)
+    return ck, sk, rng
+
+
+@pytest.fixture(scope="session")
+def small_keys():
+    rng = np.random.default_rng(1234)
+    ck, sk = ref.keygen(TEST_SMALL, rng)
+    return ck, sk, rng

@@ -1,0 +1,184 @@
+"""Bit-exactness tests: every device op must reproduce core.reference exactly
+(array equality on uint32 ciphertexts — there is no floating point anywhere on
+the ciphertext path)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from herdsman_tpu.core import TOY
+from herdsman_tpu.core import reference as ref
+from herdsman_tpu.ops import bootstrap as bs
+from herdsman_tpu.ops import decomp as ddecomp
+from herdsman_tpu.ops import gates
+from herdsman_tpu.ops import poly
+from herdsman_tpu.ops.server_key import device_server_key
+
+U32 = np.uint32
+
+ENGINES = ["gather_u32", "conv_i8"]
+
+
+@pytest.fixture(scope="module")
+def toy_device_key(toy_keys):
+    _, sk, _ = toy_keys
+    return device_server_key(sk)
+
+
+def rand_u32(rng, *shape):
+    return rng.integers(0, 1 << 32, shape, dtype=np.uint64).astype(U32)
+
+
+def test_negacyclic_shift_matches(toy_keys):
+    rng = np.random.default_rng(7)
+    N = 64
+    p = rand_u32(rng, 3, N)
+    for s in [0, 1, 17, N - 1, N, N + 9, 2 * N - 1]:
+        got = np.asarray(poly.negacyclic_shift(jnp.asarray(p), s))
+        expect = ref.negacyclic_monomial_mul(p, np.array(s))
+        np.testing.assert_array_equal(got, expect, err_msg=f"s={s}")
+
+
+def test_monomial_mul_traced_matches(toy_keys):
+    rng = np.random.default_rng(8)
+    N = 64
+    B = 16
+    p = rand_u32(rng, B, N)
+    r = rng.integers(0, 2 * N, B)
+    got = np.asarray(
+        poly.negacyclic_monomial_mul(jnp.asarray(p), jnp.asarray(r))
+    )
+    expect = ref.negacyclic_monomial_mul(p, r)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_i8_limb_roundtrip():
+    rng = np.random.default_rng(9)
+    x = rand_u32(rng, 1000)
+    limbs = poly.to_i8_limbs(jnp.asarray(x))
+    back = poly.from_i32_limb_partials(limbs.astype(jnp.int32))
+    np.testing.assert_array_equal(np.asarray(back), x)
+
+
+def test_decompose_matches():
+    rng = np.random.default_rng(10)
+    x = rand_u32(rng, 500)
+    for bits, lev in [(6, 3), (7, 3), (4, 8)]:
+        got = np.asarray(ddecomp.signed_decompose(jnp.asarray(x), bits, lev))
+        np.testing.assert_array_equal(got, ref.signed_decompose(x, bits, lev))
+    got = np.asarray(ddecomp.unsigned_decompose(jnp.asarray(x), 4, 3))
+    np.testing.assert_array_equal(got, ref.unsigned_decompose(x, 4, 3))
+
+
+def test_polymul_fallback_matches():
+    rng = np.random.default_rng(11)
+    N = 64
+    a = rand_u32(rng, N)
+    b = rand_u32(rng, N)
+    got = np.asarray(poly.negacyclic_polymul(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_array_equal(got, ref.negacyclic_polymul(a, b))
+
+
+def test_mod_switch_matches(toy_keys):
+    ck, _, _ = toy_keys
+    rng = np.random.default_rng(12)
+    ct = rand_u32(rng, 5, TOY.n + 1)
+    got = np.asarray(bs.mod_switch_2N(TOY, jnp.asarray(ct)))
+    for i in range(5):
+        np.testing.assert_array_equal(got[i], ref.mod_switch_2N(TOY, ct[i]))
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_blind_rotate_bitexact(toy_keys, toy_device_key, engine):
+    ck, sk, rng = toy_keys
+    B = 4
+    bits = np.array([True, False, True, False])
+    ct = ref.encrypt_bool(ck, bits, rng)
+    tv = ref.make_test_poly(TOY)
+    got = np.asarray(
+        bs.blind_rotate_batch(toy_device_key, jnp.asarray(ct), jnp.asarray(tv),
+                              engine=engine)
+    )
+    for i in range(B):
+        expect = ref.blind_rotate(sk, ct[i], tv)
+        np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
+
+
+def test_sample_extract_bitexact(toy_keys):
+    rng = np.random.default_rng(13)
+    acc = rand_u32(rng, 3, TOY.k + 1, TOY.N)
+    got = np.asarray(bs.sample_extract_batch(TOY, jnp.asarray(acc)))
+    for i in range(3):
+        np.testing.assert_array_equal(got[i], ref.sample_extract(TOY, acc[i]))
+
+
+def test_key_switch_bitexact(toy_keys, toy_device_key):
+    _, sk, _ = toy_keys
+    rng = np.random.default_rng(14)
+    ct = rand_u32(rng, 3, TOY.kN + 1)
+    got = np.asarray(bs.key_switch_batch(toy_device_key, jnp.asarray(ct)))
+    for i in range(3):
+        np.testing.assert_array_equal(got[i], ref.key_switch(sk, ct[i]))
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_full_bootstrap_bitexact(toy_keys, toy_device_key, engine):
+    ck, sk, rng = toy_keys
+    bits = np.array([True, False, False, True])
+    ct = ref.encrypt_bool(ck, bits, rng)
+    got = np.asarray(
+        bs.bootstrap_bool_batch(toy_device_key, jnp.asarray(ct), engine=engine)
+    )
+    for i in range(len(bits)):
+        expect = ref.bootstrap_bool(sk, ct[i])
+        np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
+        assert ref.lwe_decrypt_bool(ck, got[i]) == bits[i]
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_gate_batch_heterogeneous(toy_keys, toy_device_key, engine):
+    """One batched device call evaluating different gate types at once."""
+    ck, sk, rng = toy_keys
+    cases = [
+        ("AND", 1, 1, 1), ("AND", 1, 0, 0),
+        ("OR", 0, 0, 0), ("OR", 0, 1, 1),
+        ("NAND", 1, 1, 0), ("NOR", 0, 0, 1),
+        ("XOR", 1, 0, 1), ("XOR", 1, 1, 0),
+        ("XNOR", 1, 1, 1), ("XNOR", 0, 1, 0),
+    ]
+    b1 = np.array([c[1] for c in cases], dtype=bool)
+    b2 = np.array([c[2] for c in cases], dtype=bool)
+    c1 = ref.encrypt_bool(ck, b1, rng)
+    c2 = ref.encrypt_bool(ck, b2, rng)
+    ids = jnp.asarray([gates.GATE_IDS[c[0]] for c in cases], dtype=jnp.int32)
+    out = gates.gate_batch(
+        device_server_key(sk),
+        gates.GateBatch(ids, jnp.asarray(c1), jnp.asarray(c2)),
+        engine=engine,
+    )
+    got = ref.lwe_decrypt_bool(ck, np.asarray(out))
+    np.testing.assert_array_equal(got, np.array([c[3] for c in cases], bool))
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_mux_batch(toy_keys, toy_device_key, engine):
+    ck, sk, rng = toy_keys
+    combos = [(s, a, b) for s in (0, 1) for a in (0, 1) for b in (0, 1)]
+    sel = ref.encrypt_bool(ck, np.array([c[0] for c in combos], bool), rng)
+    ca = ref.encrypt_bool(ck, np.array([c[1] for c in combos], bool), rng)
+    cb = ref.encrypt_bool(ck, np.array([c[2] for c in combos], bool), rng)
+    out = gates.mux_batch(
+        toy_device_key, jnp.asarray(sel), jnp.asarray(ca), jnp.asarray(cb),
+        engine=engine,
+    )
+    got = ref.lwe_decrypt_bool(ck, np.asarray(out))
+    expect = np.array([a if s else b for (s, a, b) in combos], dtype=bool)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_not_gate_device(toy_keys):
+    ck, _, rng = toy_keys
+    bits = np.array([True, False], dtype=bool)
+    ct = ref.encrypt_bool(ck, bits, rng)
+    out = np.asarray(gates.gate_not(jnp.asarray(ct)))
+    np.testing.assert_array_equal(ref.lwe_decrypt_bool(ck, out), ~bits)

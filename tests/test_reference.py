@@ -1,0 +1,214 @@
+"""Unit tests for the NumPy reference TFHE implementation (the bit-exactness
+anchor for all device kernels)."""
+
+import numpy as np
+import pytest
+
+from herdsman_tpu.core import TOY
+from herdsman_tpu.core import reference as ref
+
+U32 = np.uint32
+
+
+def center_dist(x, y):
+    """Signed distance on the torus (|x - y| as centered int)."""
+    d = (np.asarray(x, dtype=U32) - np.asarray(y, dtype=U32)).astype(np.int64)
+    d = np.where(d >= 1 << 31, d - (1 << 32), d)
+    return np.abs(d)
+
+
+def test_negacyclic_polymul_small():
+    # (1 + X) * (1 + X^{N-1}) = 1 + X^{N-1} + X + X^N = X + 2? no:
+    # X * X^{N-1} = X^N = -1  ->  1 + X^{N-1} + X - 1 = X + X^{N-1}
+    N = 8
+    a = np.zeros(N, dtype=U32); a[0] = 1; a[1] = 1
+    b = np.zeros(N, dtype=U32); b[0] = 1; b[N - 1] = 1
+    c = ref.negacyclic_polymul(a, b)
+    expect = np.zeros(N, dtype=U32); expect[1] = 1; expect[N - 1] = 1
+    np.testing.assert_array_equal(c, expect)
+
+
+def test_negacyclic_polymul_matches_int_model():
+    rng = np.random.default_rng(0)
+    N = 16
+    a = rng.integers(0, 1 << 32, N, dtype=np.uint64).astype(U32)
+    b = rng.integers(0, 1 << 32, N, dtype=np.uint64).astype(U32)
+    # int model via object-dtype exact arithmetic
+    ai = [int(v) for v in a]
+    bi = [int(v) for v in b]
+    expect = [0] * N
+    for i in range(N):
+        for j in range(N):
+            k = i + j
+            if k < N:
+                expect[k] += ai[i] * bi[j]
+            else:
+                expect[k - N] -= ai[i] * bi[j]
+    expect = np.array([v % (1 << 32) for v in expect], dtype=U32)
+    np.testing.assert_array_equal(ref.negacyclic_polymul(a, b), expect)
+
+
+def test_monomial_mul_roundtrip():
+    rng = np.random.default_rng(1)
+    N = 32
+    p = rng.integers(0, 1 << 32, N, dtype=np.uint64).astype(U32)
+    for r in [0, 1, 5, N - 1, N, N + 3, 2 * N - 1]:
+        q = ref.negacyclic_monomial_mul(p, np.array(r))
+        back = ref.negacyclic_monomial_mul(q, np.array((2 * N - r) % (2 * N)))
+        np.testing.assert_array_equal(back, p)
+        # against explicit polymul with monomial
+        mono = np.zeros(N, dtype=U32)
+        if r < N:
+            mono[r] = 1
+        else:
+            mono[r - N] = np.iinfo(U32).max  # -1 mod 2^32
+        np.testing.assert_array_equal(q, ref.negacyclic_polymul(p, mono))
+
+
+@pytest.mark.parametrize("bg_bits,levels", [(6, 3), (7, 3), (4, 8)])
+def test_signed_decompose_reconstructs(bg_bits, levels):
+    rng = np.random.default_rng(2)
+    x = rng.integers(0, 1 << 32, 1000, dtype=np.uint64).astype(U32)
+    d = ref.signed_decompose(x, bg_bits, levels)
+    Bg = 1 << bg_bits
+    assert d.min() >= -(Bg // 2) and d.max() < Bg // 2
+    # reconstruct: sum_i d_i * q / Bg^(i+1)
+    recon = np.zeros_like(x, dtype=np.int64)
+    for lev in range(levels):
+        scale = 1 << (32 - bg_bits * (lev + 1))
+        recon += d[:, lev].astype(np.int64) * scale
+    recon_u = (recon % (1 << 32)).astype(U32)
+    err = center_dist(recon_u, x)
+    W = bg_bits * levels
+    tol = (1 << (32 - W - 1)) if W < 32 else 0
+    assert err.max() <= tol
+
+
+def test_unsigned_decompose_reconstructs():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 1 << 32, 1000, dtype=np.uint64).astype(U32)
+    d = ref.unsigned_decompose(x, 4, 3)
+    recon = np.zeros_like(x, dtype=np.int64)
+    for lev in range(3):
+        recon += d[:, lev].astype(np.int64) << (32 - 4 * (lev + 1))
+    err = center_dist((recon % (1 << 32)).astype(U32), x)
+    assert err.max() <= 1 << (32 - 12 - 1)
+
+
+def test_lwe_roundtrip(toy_keys):
+    ck, _, rng = toy_keys
+    bits = np.array([0, 1, 1, 0, 1, 0, 0, 1], dtype=bool)
+    ct = ref.encrypt_bool(ck, bits, rng)
+    np.testing.assert_array_equal(ref.lwe_decrypt_bool(ck, ct), bits)
+
+
+def test_glwe_roundtrip(toy_keys):
+    ck, _, rng = toy_keys
+    p = ck.params
+    msg = (rng.integers(0, 8, p.N, dtype=np.uint64).astype(U32)) << U32(29)
+    ct = ref.glwe_encrypt(ck, msg, rng)
+    ph = ref.glwe_phase(ck, ct)
+    assert center_dist(ph, msg).max() < 1 << 25
+
+
+def test_external_product_scales_message(toy_keys):
+    ck, _, rng = toy_keys
+    p = ck.params
+    msg = np.zeros(p.N, dtype=U32)
+    msg[0] = U32(1) << U32(29)  # q/8
+    msg[3] = U32(3) << U32(29)
+    glwe = ref.glwe_encrypt(ck, msg, rng)
+    for bit in (0, 1):
+        ggsw = ref.ggsw_encrypt(ck, bit, rng)
+        out = ref.external_product(p, ggsw, glwe)
+        ph = ref.glwe_phase(ck, out)
+        expect = msg if bit else np.zeros_like(msg)
+        assert center_dist(ph, expect).max() < 1 << 25, f"bit={bit}"
+
+
+def test_cmux(toy_keys):
+    ck, _, rng = toy_keys
+    p = ck.params
+    m0 = np.zeros(p.N, dtype=U32); m0[0] = U32(1) << 29
+    m1 = np.zeros(p.N, dtype=U32); m1[0] = U32(7) << 29
+    c0 = ref.glwe_encrypt(ck, m0, rng)
+    c1 = ref.glwe_encrypt(ck, m1, rng)
+    for bit in (0, 1):
+        ggsw = ref.ggsw_encrypt(ck, bit, rng)
+        out = ref.cmux(p, ggsw, c0, c1)
+        ph = ref.glwe_phase(ck, out)
+        expect = m1 if bit else m0
+        assert center_dist(ph, expect).max() < 1 << 25
+
+
+def test_blind_rotate_sign(toy_keys):
+    ck, sk, rng = toy_keys
+    p = ck.params
+    for bit in (False, True):
+        ct = ref.encrypt_bool(ck, np.array([bit]), rng)[0]
+        acc = ref.blind_rotate(sk, ct, ref.make_test_poly(p))
+        ext = ref.sample_extract(p, acc)
+        ph = ref.lwe_phase(ck.extracted_key, ext)
+        expect = ref.BOOL_MU if bit else ref.NEG_BOOL_MU
+        assert center_dist(ph, expect) < 1 << 27, f"bit={bit}"
+
+
+def test_key_switch(toy_keys):
+    ck, sk, rng = toy_keys
+    p = ck.params
+    # encrypt under extracted key manually: use glwe path via blind rotation
+    ct = ref.encrypt_bool(ck, np.array([True]), rng)[0]
+    raw = ref.bootstrap_raw(sk, ct, ref.make_test_poly(p))
+    switched = ref.key_switch(sk, raw)
+    ph = ref.lwe_phase(ck.lwe_key, switched)
+    assert center_dist(ph, ref.BOOL_MU) < 1 << 27
+
+
+def test_full_bootstrap_refreshes(toy_keys):
+    ck, sk, rng = toy_keys
+    bits = np.array([True, False, True, True], dtype=bool)
+    ct = ref.encrypt_bool(ck, bits, rng)
+    for i in range(len(bits)):
+        out = ref.bootstrap_bool(sk, ct[i])
+        assert ref.lwe_decrypt_bool(ck, out) == bits[i]
+
+
+@pytest.mark.parametrize(
+    "gate,table",
+    [
+        ("and", [0, 0, 0, 1]),
+        ("or", [0, 1, 1, 1]),
+        ("nand", [1, 1, 1, 0]),
+        ("nor", [1, 0, 0, 0]),
+        ("xor", [0, 1, 1, 0]),
+        ("xnor", [1, 0, 0, 1]),
+    ],
+)
+def test_gates(toy_keys, gate, table):
+    ck, sk, rng = toy_keys
+    fn = getattr(ref, f"gate_{gate}")
+    for idx, (b1, b2) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        c1 = ref.encrypt_bool(ck, np.array([b1], dtype=bool), rng)[0]
+        c2 = ref.encrypt_bool(ck, np.array([b2], dtype=bool), rng)[0]
+        out = fn(sk, c1, c2)
+        assert ref.lwe_decrypt_bool(ck, out) == bool(table[idx]), (b1, b2)
+
+
+def test_not_gate(toy_keys):
+    ck, sk, rng = toy_keys
+    for b in (False, True):
+        c = ref.encrypt_bool(ck, np.array([b], dtype=bool), rng)[0]
+        assert ref.lwe_decrypt_bool(ck, ref.gate_not(sk, c)) == (not b)
+
+
+def test_mux_gate(toy_keys):
+    ck, sk, rng = toy_keys
+    for sel in (0, 1):
+        for a in (0, 1):
+            for b in (0, 1):
+                cs = ref.encrypt_bool(ck, np.array([sel], dtype=bool), rng)[0]
+                ca = ref.encrypt_bool(ck, np.array([a], dtype=bool), rng)[0]
+                cb = ref.encrypt_bool(ck, np.array([b], dtype=bool), rng)[0]
+                out = ref.gate_mux(sk, cs, ca, cb)
+                expect = bool(a if sel else b)
+                assert ref.lwe_decrypt_bool(ck, out) == expect, (sel, a, b)
