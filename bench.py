@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Headline benchmark: TFHE gate bootstraps/sec on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline (BASELINE.md): the reference publishes no numbers; the north star is
+">=10x bootstraps/sec over a 64-core CPU herd on 16 chips". Literature anchor
+for CPU TFHE gate bootstrapping (OpenFHE binfhe STD128-class) is ~25 ms/gate
+per core => a 64-core herd ~= 2560 bootstraps/sec.  The per-chip share of the
+16-chip target is 2560/16 = 160 bootstraps/sec/chip, so
+    vs_baseline = (bootstraps/sec/chip) / 160
+and vs_baseline >= 10 means the 10x north-star target is met (assuming linear
+scaling, which config 4/5 measure separately).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+CPU_HERD_BOOTSTRAPS_PER_SEC = 2560.0  # 64 cores x ~25 ms/gate
+PER_CHIP_PARITY = CPU_HERD_BOOTSTRAPS_PER_SEC / 16.0
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def get_keys(params_name: str):
+    from herdsman_tpu.core import PARAM_SETS
+    from herdsman_tpu.core import reference as ref
+
+    p = PARAM_SETS[params_name]
+    cache = f"/tmp/herdsman_bench_keys_{params_name}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        ck = ref.ClientKey(p, z["lwe_key"], z["glwe_key"])
+        sk = ref.ServerKey(p, z["bsk"], z["ksk"])
+        return ck, sk
+    rng = np.random.default_rng(0xBEEF)
+    t0 = time.time()
+    ck, sk = ref.keygen(p, rng)
+    log(f"keygen({params_name}): {time.time() - t0:.1f}s")
+    np.savez(cache, lwe_key=ck.lwe_key, glwe_key=ck.glwe_key,
+             bsk=sk.bsk, ksk=sk.ksk)
+    return ck, sk
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--params", default="std128")
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--engine", default=os.environ.get("HERDSMAN_BENCH_ENGINE",
+                                                       "conv_i8"))
+    ap.add_argument("--iters", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from herdsman_tpu.core import reference as ref
+    from herdsman_tpu.ops import bootstrap as bs
+    from herdsman_tpu.ops.server_key import device_server_key
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}; engine={args.engine} "
+        f"params={args.params} batch={args.batch}")
+
+    ck, sk = get_keys(args.params)
+    layout = {"conv_i8": ("bsk_conv",), "gather_u32": ("bsk_ext",)}.get(
+        args.engine, ("bsk_ext", "bsk_conv"))
+    dsk = device_server_key(sk, layouts=layout)
+
+    rng = np.random.default_rng(7)
+    bits = rng.integers(0, 2, args.batch).astype(bool)
+    ct = jnp.asarray(ref.encrypt_bool(ck, bits, rng))
+
+    fn = lambda c: bs.bootstrap_bool_batch(dsk, c, engine=args.engine)
+    t0 = time.time()
+    out = jax.block_until_ready(fn(ct))
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    # correctness gate: the benched computation must decrypt correctly
+    got = ref.lwe_decrypt_bool(ck, np.asarray(out))
+    n_bad = int((got != bits).sum())
+    if n_bad:
+        log(f"WARNING: {n_bad}/{args.batch} decryption mismatches")
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        jax.block_until_ready(fn(ct))
+        times.append(time.time() - t0)
+    dt = min(times)
+    rate = args.batch / dt
+    log(f"times: {['%.3f' % t for t in times]}; best {dt * 1e3:.1f} ms "
+        f"for batch {args.batch} => {rate:.1f} bootstraps/s/chip")
+
+    print(json.dumps({
+        "metric": "tfhe_gate_bootstraps_per_sec_per_chip",
+        "value": round(rate, 2),
+        "unit": "bootstraps/s/chip",
+        "vs_baseline": round(rate / PER_CHIP_PARITY, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,245 @@
+"""Circuit -> XLA lowering.
+
+Replaces the reference's per-gate worker evaluation (hived workers walking the
+circuit DAG gate-by-gate per row) with levelized batched device programs: all
+two-input gates at the same depth — across ALL rows of the batch — become ONE
+batched bootstrap; MUX gates become one mux_batch; NOT/CONST are linear and
+free.  `compile_circuit` traces the whole circuit into a single jitted XLA
+program.
+
+Data layout: a batch of encrypted rows is a uint32 array
+[rows, num_bits, n+1] — column bits concatenated in declaration order,
+LSB-first (matching `circuit.model` wire numbering).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from herdsman_tpu.circuit.model import (
+    BOOTSTRAP_GATES,
+    Circuit,
+    GateOp,
+)
+from herdsman_tpu.ops import bootstrap as bs
+from herdsman_tpu.ops import gates as gate_ops
+from herdsman_tpu.ops.server_key import DeviceServerKey
+
+U32 = jnp.uint32
+
+_OP_TO_GATE_ID = {
+    GateOp.AND: gate_ops.GATE_IDS["AND"],
+    GateOp.OR: gate_ops.GATE_IDS["OR"],
+    GateOp.NAND: gate_ops.GATE_IDS["NAND"],
+    GateOp.NOR: gate_ops.GATE_IDS["NOR"],
+    GateOp.XOR: gate_ops.GATE_IDS["XOR"],
+    GateOp.XNOR: gate_ops.GATE_IDS["XNOR"],
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class Level:
+    """One bootstrap depth level: gate indices grouped by kind."""
+
+    bootstrap_gates: tuple[int, ...]  # indices into circuit.gates
+    mux_gates: tuple[int, ...]
+
+
+def levelize(circuit: Circuit) -> tuple[list[Level], list[int]]:
+    """Group bootstrapping gates by depth.
+
+    Returns (levels, depth_per_wire). NOT/CONST are depth-transparent
+    (linear, no bootstrap).
+    """
+    n_in = circuit.num_input_bits
+    depth = [0] * circuit.num_wires
+    level_map: dict[int, dict[str, list[int]]] = {}
+    for gi, g in enumerate(circuit.gates):
+        wire = n_in + gi
+        arg_depth = max((depth[a] for a in g.args), default=0)
+        if g.op in BOOTSTRAP_GATES or g.op == GateOp.MUX:
+            depth[wire] = arg_depth + 1
+            bucket = level_map.setdefault(
+                depth[wire], {"bs": [], "mux": []}
+            )
+            bucket["mux" if g.op == GateOp.MUX else "bs"].append(gi)
+        else:  # NOT / CONST: linear
+            depth[wire] = arg_depth
+    levels = [
+        Level(tuple(level_map[d]["bs"]), tuple(level_map[d]["mux"]))
+        for d in sorted(level_map)
+    ]
+    return levels, depth
+
+
+def circuit_cost(circuit: Circuit) -> dict:
+    """Bootstrap counts (the `estimated_complexity` analog — the reference
+    leaves it as a TODO at src/service/execution_service.cpp:60)."""
+    n_bs = sum(1 for g in circuit.gates if g.op in BOOTSTRAP_GATES)
+    n_mux = sum(1 for g in circuit.gates if g.op == GateOp.MUX)
+    levels, _ = levelize(circuit)
+    return {
+        "bootstraps_per_row": n_bs + 2 * n_mux,
+        "depth": len(levels),
+        "gates": len(circuit.gates),
+    }
+
+
+def compile_circuit(circuit: Circuit, dsk: DeviceServerKey,
+                    engine: str = "conv_i8"):
+    """Returns a jitted fn: input [rows, num_input_bits, n+1] u32 ->
+    output [rows, num_output_bits, n+1] u32 (output columns' bits
+    concatenated in declaration order, LSB-first)."""
+    circuit.validate()
+    p = dsk.params
+    n_in = circuit.num_input_bits
+    levels, _ = levelize(circuit)
+
+    def run(inputs: jax.Array) -> jax.Array:
+        rows = inputs.shape[0]
+        flat_rows = rows  # gate batches fold rows x gates into one axis
+        wires: dict[int, jax.Array] = {
+            w: inputs[:, w, :] for w in range(n_in)
+        }
+
+        def resolve_linear(gi: int) -> None:
+            """Materialize NOT/CONST wires whose args are ready."""
+            g = circuit.gates[gi]
+            wire = n_in + gi
+            if wire in wires:
+                return
+            if g.op == GateOp.NOT:
+                wires[wire] = gate_ops.gate_not(wires[g.args[0]])
+            elif g.op in (GateOp.CONST_0, GateOp.CONST_1):
+                mu = bs.BOOL_MU if g.op == GateOp.CONST_1 else -bs.BOOL_MU
+                ct = jnp.zeros((rows, p.n + 1), dtype=U32)
+                wires[wire] = ct.at[:, p.n].set(
+                    jnp.asarray(mu & 0xFFFFFFFF, dtype=U32)
+                )
+
+        def sweep_linear() -> None:
+            for gi, g in enumerate(circuit.gates):
+                if g.op in (GateOp.NOT, GateOp.CONST_0, GateOp.CONST_1):
+                    if all(a in wires for a in g.args):
+                        resolve_linear(gi)
+
+        sweep_linear()
+        for level in levels:
+            if level.bootstrap_gates:
+                ids = np.array(
+                    [_OP_TO_GATE_ID[circuit.gates[gi].op]
+                     for gi in level.bootstrap_gates],
+                    dtype=np.int32,
+                )
+                c1 = jnp.stack(
+                    [wires[circuit.gates[gi].args[0]]
+                     for gi in level.bootstrap_gates], axis=1
+                )  # [rows, G, n+1]
+                c2 = jnp.stack(
+                    [wires[circuit.gates[gi].args[1]]
+                     for gi in level.bootstrap_gates], axis=1
+                )
+                G = len(level.bootstrap_gates)
+                ids_full = jnp.tile(jnp.asarray(ids), flat_rows)
+                out = gate_ops.gate_batch.__wrapped__(
+                    dsk,
+                    gate_ops.GateBatch(
+                        ids_full,
+                        c1.reshape(rows * G, p.n + 1),
+                        c2.reshape(rows * G, p.n + 1),
+                    ),
+                    engine=engine,
+                ).reshape(rows, G, p.n + 1)
+                for j, gi in enumerate(level.bootstrap_gates):
+                    wires[n_in + gi] = out[:, j, :]
+            if level.mux_gates:
+                sel = jnp.stack(
+                    [wires[circuit.gates[gi].args[0]]
+                     for gi in level.mux_gates], axis=1
+                )
+                a = jnp.stack(
+                    [wires[circuit.gates[gi].args[1]]
+                     for gi in level.mux_gates], axis=1
+                )
+                b = jnp.stack(
+                    [wires[circuit.gates[gi].args[2]]
+                     for gi in level.mux_gates], axis=1
+                )
+                G = len(level.mux_gates)
+                out = gate_ops.mux_batch.__wrapped__(
+                    dsk,
+                    sel.reshape(rows * G, p.n + 1),
+                    a.reshape(rows * G, p.n + 1),
+                    b.reshape(rows * G, p.n + 1),
+                    engine=engine,
+                ).reshape(rows, G, p.n + 1)
+                for j, gi in enumerate(level.mux_gates):
+                    wires[n_in + gi] = out[:, j, :]
+            sweep_linear()
+
+        out_wires = [
+            w for col in circuit.output_columns for w in col.wires
+        ]
+        return jnp.stack([wires[w] for w in out_wires], axis=1)
+
+    return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
+# Plaintext evaluation (spec/test oracle)
+# ---------------------------------------------------------------------------
+
+def evaluate_plain(circuit: Circuit,
+                   rows: Sequence[Sequence[int]]) -> list[dict[str, int]]:
+    """Evaluate the circuit on cleartext rows (one int per input column).
+
+    Returns one {output_column_name: int} dict per row. The oracle for
+    encrypted evaluation tests.
+    """
+    circuit.validate()
+    results = []
+    for row in rows:
+        assert len(row) == len(circuit.input_columns)
+        bits: list[int] = []
+        for val, col in zip(row, circuit.input_columns):
+            w = col.dtype.bit_width
+            bits.extend((int(val) >> i) & 1 for i in range(w))
+        for g in circuit.gates:
+            a = [bits[x] for x in g.args]
+            if g.op == GateOp.AND:
+                v = a[0] & a[1]
+            elif g.op == GateOp.OR:
+                v = a[0] | a[1]
+            elif g.op == GateOp.NAND:
+                v = 1 - (a[0] & a[1])
+            elif g.op == GateOp.NOR:
+                v = 1 - (a[0] | a[1])
+            elif g.op == GateOp.XOR:
+                v = a[0] ^ a[1]
+            elif g.op == GateOp.XNOR:
+                v = 1 - (a[0] ^ a[1])
+            elif g.op == GateOp.NOT:
+                v = 1 - a[0]
+            elif g.op == GateOp.MUX:
+                v = a[1] if a[0] else a[2]
+            elif g.op == GateOp.CONST_0:
+                v = 0
+            else:
+                v = 1
+            bits.append(v)
+        out = {}
+        for col in circuit.output_columns:
+            val = 0
+            for i, w in enumerate(col.wires):
+                val |= bits[w] << i
+            if col.dtype.signed and bits[col.wires[-1]]:
+                val -= 1 << col.dtype.bit_width
+            out[col.name] = val
+        results.append(out)
+    return results

@@ -39,24 +39,31 @@ I64 = np.int64
 def negacyclic_polymul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Negacyclic product of two degree-<N polynomials, coefficients mod 2^32.
 
-    Schoolbook reference; correctness anchor for the MXU Toeplitz kernels.
-    Supports leading batch dims on ``a`` and/or ``b`` (broadcast).
+    Exact integer implementation via 16-bit operand splitting and int64
+    convolutions (np.convolve): with a = a1*2^16 + a0, the a1*b1 term
+    contributes a multiple of 2^32 (= 0 mod q), and each remaining
+    convolution's terms are < 2^32 summed over <= N < 2^10, so all partial
+    sums fit int64 exactly.  Supports leading batch dims (broadcast).
     """
     a = np.asarray(a, dtype=U32)
     b = np.asarray(b, dtype=U32)
     N = a.shape[-1]
     assert b.shape[-1] == N
-    # c_k = sum_{i+j=k} a_i b_j - sum_{i+j=k+N} a_i b_j  (mod 2^32)
     out_shape = np.broadcast_shapes(a.shape[:-1], b.shape[:-1]) + (N,)
     a = np.broadcast_to(a, out_shape).reshape(-1, N)
     b = np.broadcast_to(b, out_shape).reshape(-1, N)
-    res = np.zeros_like(a)
-    for i in range(N):
-        # a_i * b shifted by i with negacyclic wrap
-        ai = a[:, i : i + 1]
-        prod = ai * b  # uint32 wraparound
-        res[:, i:] += prod[:, : N - i]
-        res[:, :i] -= prod[:, N - i :]
+    a0 = (a & U32(0xFFFF)).astype(I64)
+    a1 = (a >> U32(16)).astype(I64)
+    b0 = (b & U32(0xFFFF)).astype(I64)
+    b1 = (b >> U32(16)).astype(I64)
+    res = np.empty_like(a)
+    for row in range(a.shape[0]):
+        lo = np.convolve(a0[row], b0[row])
+        mid = np.convolve(a0[row], b1[row]) + np.convolve(a1[row], b0[row])
+        full = (lo + (mid << 16)) & 0xFFFFFFFF  # [2N-1] int64, values mod q
+        c = full[:N].copy()
+        c[: N - 1] -= full[N:]  # negacyclic fold: X^N = -1
+        res[row] = (c & 0xFFFFFFFF).astype(U32)
     return res.reshape(out_shape)
 
 

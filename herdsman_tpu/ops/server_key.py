@@ -58,31 +58,40 @@ class DeviceServerKey:
         return (p.k + 1) * p.levels
 
 
-def device_server_key(sk: ServerKey) -> DeviceServerKey:
-    """Host-side re-layout of the server key into device engine formats."""
+def device_server_key(
+    sk: ServerKey, layouts: tuple[str, ...] = ("bsk_ext", "bsk_conv")
+) -> DeviceServerKey:
+    """Host-side re-layout of the server key into device engine formats.
+
+    ``layouts`` selects which BSK layouts to materialize/ship (each is
+    ~O(n*R*(k+1)*2N) bytes; skip the ones your engine doesn't use to save
+    HBM and transfer time).
+    """
     p = sk.params
     R = (p.k + 1) * p.levels
     N = p.N
     bsk = sk.bsk.reshape(p.n, R, p.k + 1, N)
     ext = _np_ext(bsk)  # [n, R, k+1, 2N]
 
-    # conv kernel layout: [n, R, k+1, 4, 2N-1] -> merge (k+1, 4) -> out chans
-    dx = np.arange(2 * N - 1)
-    w_idx = (N - 1 - dx) % (2 * N)  # [2N-1]
-    conv_src = ext[..., w_idx]  # [n, R, k+1, 2N-1] u32
-    conv_limbs = _np_i8_limbs(conv_src)  # [n, R, k+1, 2N-1, 4]
-    bsk_conv = (
-        np.moveaxis(conv_limbs, -1, 3)  # [n, R, k+1, 4, 2N-1]
-        .reshape(p.n, R, (p.k + 1) * 4, 2 * N - 1)
-    )
+    bsk_conv = None
+    if "bsk_conv" in layouts:
+        # conv kernel layout: [n, R, k+1, 4, 2N-1] -> merge (k+1,4) out chans
+        dx = np.arange(2 * N - 1)
+        w_idx = (N - 1 - dx) % (2 * N)  # [2N-1]
+        conv_src = ext[..., w_idx]  # [n, R, k+1, 2N-1] u32
+        conv_limbs = _np_i8_limbs(conv_src)  # [n, R, k+1, 2N-1, 4]
+        bsk_conv = jnp.asarray(
+            np.moveaxis(conv_limbs, -1, 3)
+            .reshape(p.n, R, (p.k + 1) * 4, 2 * N - 1)
+        )
 
     ksk = sk.ksk  # [kN, t, n+1] u32
     ksk_limbs = _np_i8_limbs(ksk).reshape(p.kN * p.ks_levels, (p.n + 1) * 4)
 
     return DeviceServerKey(
         params=p,
-        bsk_ext=jnp.asarray(ext),
-        bsk_conv=jnp.asarray(bsk_conv),
+        bsk_ext=jnp.asarray(ext) if "bsk_ext" in layouts else None,
+        bsk_conv=bsk_conv,
         ksk_limbs=jnp.asarray(ksk_limbs),
-        ksk=jnp.asarray(ksk),
+        ksk=jnp.asarray(ksk) if "ksk" in layouts else None,
     )
