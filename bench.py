@@ -72,7 +72,8 @@ def main() -> None:
         f"params={args.params} batch={args.batch}")
 
     ck, sk = get_keys(args.params)
-    layout = {"conv_i8": ("bsk_conv",), "gather_u32": ("bsk_ext",)}.get(
+    layout = {"conv_i8": ("bsk_conv",), "gather_u32": ("bsk_ext",),
+              "pallas_bt": ("bsk_bt",)}.get(
         args.engine, ("bsk_ext", "bsk_conv"))
     dsk = device_server_key(sk, layouts=layout)
 

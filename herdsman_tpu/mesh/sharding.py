@@ -1,0 +1,151 @@
+"""Multi-chip sharding — the TPU-native replacement for the reference's
+worker-fleet parallelism (round-robin gRPC dispatch, reference
+src/execution/worker/grpc/grpc_worker_group.cpp:76-102) and partition
+parallelism (SURVEY.md §2.2).
+
+Mesh axes:
+
+- ``batch`` (DP analog): the ciphertext batch is sharded; no communication.
+  This is the reference's partition-per-worker parallelism reborn as array
+  sharding.
+- ``limb`` (TP analog): the external-product contraction rows — the
+  (k+1)*levels GGSW rows — are sharded; each device holds 1/limb of the
+  bootstrapping key and contributes a partial product, combined with an
+  exact-mod-2^32 psum (uint32 wraparound addition is associative, so the
+  XLA integer psum is EXACT — no floating-point collective anywhere).
+
+All collectives ride ICI via jax.shard_map + jax.lax.psum.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from herdsman_tpu.ops import bootstrap as bs
+from herdsman_tpu.ops import gates as gate_ops
+from herdsman_tpu.ops import poly
+from herdsman_tpu.ops.decomp import signed_decompose
+from herdsman_tpu.ops.server_key import DeviceServerKey
+
+U32 = jnp.uint32
+
+
+def make_mesh(batch: int, limb: int = 1,
+              devices: Optional[list] = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= batch * limb, (
+        f"need {batch * limb} devices, have {len(devices)}"
+    )
+    dev_array = np.array(devices[: batch * limb]).reshape(batch, limb)
+    return Mesh(dev_array, axis_names=("batch", "limb"))
+
+
+def shard_server_key(dsk: DeviceServerKey, mesh: Mesh) -> DeviceServerKey:
+    """Place key material: BSK row-sharded over 'limb', KSK replicated."""
+    from jax.sharding import NamedSharding
+
+    def put(x, spec):
+        if x is None:
+            return None
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return dataclasses.replace(
+        dsk,
+        # bsk_* arrays have the GGSW row axis at position 1
+        bsk_ext=put(dsk.bsk_ext, P(None, "limb")),
+        bsk_conv=put(dsk.bsk_conv, P(None, "limb")),
+        bsk_bt=put(dsk.bsk_bt, P(None, "limb")),
+        ksk_limbs=put(dsk.ksk_limbs, P()),
+        ksk=put(dsk.ksk, P()),
+    )
+
+
+def _local_blind_rotate(dsk: DeviceServerKey, ct: jax.Array,
+                        test_poly: jax.Array, bsk_local: jax.Array,
+                        engine: str, axis: str) -> jax.Array:
+    """shard_map body: ct is the per-device batch shard; bsk_local is the
+    per-device row shard of the key; acc stays replicated along `axis`."""
+    p = dsk.params
+    ep, _ = bs.ENGINES[engine]
+    B = ct.shape[0]
+    R_local = bsk_local.shape[1]
+    R = (p.k + 1) * p.levels
+    n_limb = jax.lax.axis_size(axis)
+    limb_idx = jax.lax.axis_index(axis)
+    row0 = limb_idx * R_local
+
+    tilde = bs.mod_switch_2N(p, ct)
+    a_t = tilde[:, : p.n]
+    b_t = tilde[:, p.n]
+    body = poly.negacyclic_monomial_mul(
+        jnp.broadcast_to(test_poly.astype(U32), (B, p.N)),
+        (jnp.int32(p.two_N) - b_t) & jnp.int32(p.two_N - 1),
+    )
+    acc0 = jnp.concatenate(
+        [jnp.zeros((B, p.k, p.N), dtype=U32), body[:, None, :]], axis=1
+    )
+
+    def step(acc, xs):
+        bsk_i, a_i = xs
+        rot = poly.negacyclic_monomial_mul(acc, a_i[:, None])
+        diff = rot - acc
+        digits = signed_decompose(diff, p.bg_bits, p.levels)
+        digits = jnp.moveaxis(digits, -1, 2).reshape(B, R, p.N)
+        local_digits = jax.lax.dynamic_slice_in_dim(digits, row0, R_local, 1)
+        partial = ep(p, local_digits, bsk_i)
+        prod = jax.lax.psum(partial, axis) if n_limb > 1 else partial
+        return acc + prod, None
+
+    acc, _ = jax.lax.scan(step, acc0, (bsk_local, a_t.T))
+    return acc
+
+
+def bootstrap_bool_sharded(
+    dsk: DeviceServerKey, mesh: Mesh, ct: jax.Array,
+    engine: str = "conv_i8",
+) -> jax.Array:
+    """Full sign bootstrap sharded (batch, limb): [B, n+1] -> [B, n+1]."""
+    p = dsk.params
+    _, key_layout = bs.ENGINES[engine]
+    bsk = getattr(dsk, key_layout)
+    tv = bs.make_test_poly(p)
+
+    def body(ct_shard, bsk_local, ksk_limbs):
+        # shard_map bodies must not close over device arrays: rebuild the
+        # key container from the shard_map arguments only
+        local_dsk = DeviceServerKey(
+            params=p, bsk_ext=None, bsk_conv=None, bsk_bt=None,
+            ksk_limbs=ksk_limbs, ksk=None,
+        )
+        acc = _local_blind_rotate(
+            local_dsk, ct_shard, tv, bsk_local, engine, "limb"
+        )
+        raw = bs.sample_extract_batch(p, acc)
+        return bs.key_switch_batch(local_dsk, raw)
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("batch"), P(None, "limb"), P()),
+        out_specs=P("batch"),
+        check_vma=False,
+    )
+    return fn(ct, bsk, dsk.ksk_limbs)
+
+
+def gate_step_sharded(
+    dsk: DeviceServerKey, mesh: Mesh, gate_ids: jax.Array,
+    c1: jax.Array, c2: jax.Array, engine: str = "conv_i8",
+) -> jax.Array:
+    """One full herd step on the mesh: heterogeneous gate linear combine +
+    sharded bootstrap — the flagship multi-chip program (the reference's
+    `schedule_tasks_on_workers` loop collapsed into one XLA program)."""
+    lin = gate_ops.gate_linear(dsk.params.n, gate_ids, c1, c2)
+    return bootstrap_bool_sharded(dsk, mesh, lin, engine=engine)

@@ -98,6 +98,7 @@ def blind_rotate_batch(
     ct: jax.Array,
     test_poly: jax.Array,
     engine: str = "conv_i8",
+    unroll: bool = False,
 ) -> jax.Array:
     """GINX blind rotation of a batch. ct [B, n+1] u32 -> acc [B, k+1, N] u32."""
     p = dsk.params
@@ -127,6 +128,14 @@ def blind_rotate_batch(
         prod = ep(p, digits, bsk_i)
         return acc + prod, None
 
+    if unroll:
+        # Python-loop variant: identical math, no lax.scan. Used for CPU
+        # tests of Pallas engines (interpret-mode pallas inside scan is
+        # pathologically slow to compile) and for step-level debugging.
+        acc = acc0
+        for i in range(p.n):
+            acc, _ = step(acc, (bsk[i], a_t.T[i]))
+        return acc
     acc, _ = jax.lax.scan(step, acc0, (bsk, a_t.T))
     return acc
 
@@ -163,21 +172,23 @@ def make_test_poly(p: TFHEParams, mu: int = BOOL_MU) -> jax.Array:
     return jnp.full((p.N,), jnp.asarray(mu & 0xFFFFFFFF, dtype=U32))
 
 
-@functools.partial(jax.jit, static_argnames=("engine",))
+@functools.partial(jax.jit, static_argnames=("engine", "unroll"))
 def bootstrap_raw_batch(
     dsk: DeviceServerKey, ct: jax.Array, test_poly: jax.Array,
-    engine: str = "conv_i8",
+    engine: str = "conv_i8", unroll: bool = False,
 ) -> jax.Array:
     """blind rotate + extract (no key switch): [B, n+1] -> [B, kN+1]."""
-    acc = blind_rotate_batch(dsk, ct, test_poly, engine=engine)
+    acc = blind_rotate_batch(dsk, ct, test_poly, engine=engine, unroll=unroll)
     return sample_extract_batch(dsk.params, acc)
 
 
-@functools.partial(jax.jit, static_argnames=("engine",))
+@functools.partial(jax.jit, static_argnames=("engine", "unroll"))
 def bootstrap_bool_batch(
-    dsk: DeviceServerKey, ct: jax.Array, engine: str = "conv_i8"
+    dsk: DeviceServerKey, ct: jax.Array, engine: str = "conv_i8",
+    unroll: bool = False,
 ) -> jax.Array:
     """Full sign bootstrap back to the n-LWE key: [B, n+1] -> [B, n+1]."""
     p = dsk.params
-    raw = bootstrap_raw_batch(dsk, ct, make_test_poly(p), engine=engine)
+    raw = bootstrap_raw_batch(dsk, ct, make_test_poly(p), engine=engine,
+                              unroll=unroll)
     return key_switch_batch(dsk, raw)

@@ -15,6 +15,16 @@ upload time into the forms the device engines consume:
                                           mod 2N]) with o = col*4+j.
 - ``ksk_limbs`` i8  [kN*t, (n+1)*4]      key-switching key as int8 limbs for
                                           one big MXU matmul.
+- ``bsk_bt``    i8  [n, R, HALF, P, (k+1)*4*P]
+    Block-Toeplitz expansion for the Pallas MXU engine (P = min(128, N),
+    HALF = N/P).  The virtual external-product matrix
+        M[(r, n_r), (c, n_c, j)] = limb_j(ext[r, c][(n_c - n_r) mod 2N])
+    is Toeplitz at P-granularity: the P x P tile at (row-tile rt, col-tile
+    ct) equals diagonal block m = (ct - rt) mod (2N/P) of the (r, c) poly.
+    Since ext[t + N] = -ext[t] (negacyclic), block m + N/P is the negation
+    of block m, so only HALF = N/P diagonal blocks are stored per poly and
+    the kernel subtracts instead of adds when m >= N/P.  Storage:
+    n * R * (k+1) * 4 * N * P bytes (~4.8 GiB for STD128).
 """
 
 from __future__ import annotations
@@ -49,6 +59,7 @@ class DeviceServerKey:
     params: TFHEParams = dataclasses.field(metadata=dict(static=True))
     bsk_ext: Any       # u32 [n, R, k+1, 2N]
     bsk_conv: Any      # i8  [n, R, (k+1)*4, 2N-1]
+    bsk_bt: Any        # i8  [n, R, HALF, P, (k+1)*4*P] block-Toeplitz (below)
     ksk_limbs: Any     # i8  [kN*ks_levels, (n+1)*4]
     ksk: Any           # u32 [kN, ks_levels, n+1] (fallback engine)
 
@@ -85,6 +96,10 @@ def device_server_key(
             .reshape(p.n, R, (p.k + 1) * 4, 2 * N - 1)
         )
 
+    bsk_bt = None
+    if "bsk_bt" in layouts:
+        bsk_bt = jnp.asarray(_block_toeplitz_layout(p, ext))
+
     ksk = sk.ksk  # [kN, t, n+1] u32
     ksk_limbs = _np_i8_limbs(ksk).reshape(p.kN * p.ks_levels, (p.n + 1) * 4)
 
@@ -92,6 +107,37 @@ def device_server_key(
         params=p,
         bsk_ext=jnp.asarray(ext) if "bsk_ext" in layouts else None,
         bsk_conv=bsk_conv,
+        bsk_bt=bsk_bt,
         ksk_limbs=jnp.asarray(ksk_limbs),
         ksk=jnp.asarray(ksk) if "ksk" in layouts else None,
     )
+
+
+def bt_tile(params: TFHEParams) -> tuple[int, int]:
+    """(P, HALF) for the block-Toeplitz layout: P = min(128, N), HALF = N/P."""
+    P = min(128, params.N)
+    return P, params.N // P
+
+
+def _block_toeplitz_layout(p: TFHEParams, ext: np.ndarray) -> np.ndarray:
+    """Build bsk_bt [n, R, HALF, P, (k+1)*4*P] int8 from ext [n, R, k+1, 2N].
+
+    Stored diagonal block m (m in [0, HALF)) at (p_row, q_col) holds
+    limb_j(ext[r, c][(P*m + q - p_row) mod 2N]); columns ordered (c, j, q).
+    Blocks m in [HALF, 2*HALF) are the negations (ext[t+N] = -ext[t]) and are
+    reconstructed by the kernel via subtraction.
+    """
+    n, R, kp1, twoN = ext.shape
+    P, HALF = bt_tile(p)
+    m_idx = np.arange(HALF)[:, None, None]
+    p_idx = np.arange(P)[None, :, None]
+    q_idx = np.arange(P)[None, None, :]
+    idx = (P * m_idx + q_idx - p_idx) % twoN  # [HALF, P, P]
+    out = np.empty((n, R, HALF, P, kp1 * 4 * P), dtype=np.int8)
+    for i in range(n):  # chunked to bound peak memory (u32 gather is 4x)
+        blocks = ext[i][..., idx]  # [R, k+1, HALF, P, P] u32
+        limbs = _np_i8_limbs(blocks)  # [R, k+1, HALF, P, P, 4]
+        # -> [R, HALF, P, k+1, 4, P]
+        reord = np.transpose(limbs, (0, 2, 3, 1, 5, 4))
+        out[i] = reord.reshape(R, HALF, P, kp1 * 4 * P)
+    return out

@@ -1,0 +1,142 @@
+"""YAML config system — parity with the reference's schema and defaults
+(reference include/utils/config.hpp:13-66, src/utils/config.cpp:237-300,
+template.yaml):
+
+    server:   {hostname, port (5000), key_directory, storage_directory}
+    security: {secret_key, token_lifetime (43200 s)}
+    logging:  {level (info)}
+    workers:  one of
+        grpc:   {addresses: [host:port, ...]}      # legacy shape, accepted
+        lambda: {address, concurrency_limit (1)}   # legacy shape, accepted
+        mesh:   {batch_axis, limb_axis, engine, max_batch}  # the TPU herd
+
+The reference's env-var overrides for lambda workers
+(src/utils/config.cpp:174-215: LAMBDA_WORKER_HOSTNAME/PORT,
+LAMBDA_CONCURRENCY_LIMIT, WORKER_TYPE) are honored for the legacy shapes;
+HERDSMAN_ENGINE overrides the mesh engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import yaml
+
+
+class ConfigError(ValueError):
+    pass
+
+
+@dataclasses.dataclass
+class ServerConfig:
+    hostname: str = "0.0.0.0"
+    port: int = 5000                      # reference src/utils/config.cpp:53
+    key_directory: str = "./keys"
+    storage_directory: str = "./storage"
+
+
+@dataclasses.dataclass
+class SecurityConfig:
+    secret_key: str = ""
+    token_lifetime: int = 43200           # reference src/utils/config.cpp:66
+
+
+@dataclasses.dataclass
+class LoggingConfig:
+    level: str = "info"
+
+
+@dataclasses.dataclass
+class GrpcWorkersConfig:
+    addresses: list[str] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class LambdaWorkersConfig:
+    address: str = ""
+    concurrency_limit: int = 1            # reference src/utils/config.cpp:118
+
+
+@dataclasses.dataclass
+class MeshWorkersConfig:
+    """The TPU worker herd: a device mesh instead of a gRPC fleet."""
+
+    batch_axis: int = 1                   # data-parallel axis size
+    limb_axis: int = 1                    # tensor-parallel axis size
+    engine: str = "pallas_bt"
+    max_batch: int = 512
+    param_set: str = "std128"
+
+
+@dataclasses.dataclass
+class Config:
+    server: ServerConfig = dataclasses.field(default_factory=ServerConfig)
+    security: SecurityConfig = dataclasses.field(default_factory=SecurityConfig)
+    logging: LoggingConfig = dataclasses.field(default_factory=LoggingConfig)
+    grpc_workers: Optional[GrpcWorkersConfig] = None
+    lambda_workers: Optional[LambdaWorkersConfig] = None
+    mesh_workers: Optional[MeshWorkersConfig] = None
+
+
+def _require(d: dict, key: str, ctx: str):
+    if key not in d:
+        raise ConfigError(f"missing required config node {ctx}.{key}")
+    return d[key]
+
+
+def load_config(path: str) -> Config:
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+
+    cfg = Config()
+    server = _require(raw, "server", "")
+    cfg.server = ServerConfig(
+        hostname=_require(server, "hostname", "server"),
+        port=int(server.get("port", 5000)),
+        key_directory=_require(server, "key_directory", "server"),
+        storage_directory=_require(server, "storage_directory", "server"),
+    )
+    security = _require(raw, "security", "")
+    cfg.security = SecurityConfig(
+        secret_key=_require(security, "secret_key", "security"),
+        token_lifetime=int(security.get("token_lifetime", 43200)),
+    )
+    logging_node = raw.get("logging", {})
+    level = str(logging_node.get("level", "info")).lower()
+    if level not in ("debug", "info", "warning", "error"):
+        raise ConfigError(f"unknown logging level {level!r}")
+    cfg.logging = LoggingConfig(level=level)
+
+    workers = raw.get("workers", {})
+    worker_type = os.environ.get("WORKER_TYPE", "").lower()
+    if "grpc" in workers and worker_type in ("", "grpc"):
+        cfg.grpc_workers = GrpcWorkersConfig(
+            addresses=list(_require(workers["grpc"], "addresses", "workers.grpc"))
+        )
+    if "lambda" in workers or worker_type == "lambda":
+        lam = workers.get("lambda", {})
+        address = os.environ.get("LAMBDA_WORKER_HOSTNAME", lam.get("address", ""))
+        port = os.environ.get("LAMBDA_WORKER_PORT")
+        if port:
+            address = f"{address}:{port}"
+        cfg.lambda_workers = LambdaWorkersConfig(
+            address=address,
+            concurrency_limit=int(
+                os.environ.get(
+                    "LAMBDA_CONCURRENCY_LIMIT", lam.get("concurrency_limit", 1)
+                )
+            ),
+        )
+    mesh = workers.get("mesh", {})
+    cfg.mesh_workers = MeshWorkersConfig(
+        batch_axis=int(mesh.get("batch_axis", 1)),
+        limb_axis=int(mesh.get("limb_axis", 1)),
+        engine=os.environ.get("HERDSMAN_ENGINE", mesh.get("engine", "pallas_bt")),
+        max_batch=int(mesh.get("max_batch", 512)),
+        param_set=str(mesh.get("param_set", "std128")),
+    )
+    if cfg.grpc_workers and cfg.lambda_workers:
+        raise ConfigError("workers.grpc and workers.lambda are exclusive")
+    return cfg

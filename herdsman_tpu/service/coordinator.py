@@ -1,0 +1,241 @@
+"""Coordinator — the full control-plane facade (the main.cpp + controllers
+analog, reference src/main.cpp:102-159 and src/controller/*).
+
+Exposes the complete client-facing API surface of the reference's four gRPC
+services (Auth, Session, Storage, Execution — SURVEY.md §2.4) as direct
+method calls; `herdsman_tpu.service.api_server` wraps this in a network
+server. Every method that the reference guards with the token plugin takes a
+`token` argument validated the same way (bypass list = authorize_connection,
+reference src/main.cpp:34).
+
+Implemented beyond the reference: download_data_frame (UNIMPLEMENTED at
+reference src/controller/storage_controller.cpp:264-273) and describe_job
+(unimplemented passthrough at src/controller/execution_controller.cpp:19-22).
+"""
+
+from __future__ import annotations
+
+import io
+import logging
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+from herdsman_tpu.circuit.model import ColumnMeta, MappingError, SchemaType
+from herdsman_tpu.circuit.plan import ExecutionPlan
+from herdsman_tpu.core import PARAM_SETS
+from herdsman_tpu.core.reference import ServerKey
+from herdsman_tpu.service.auth import AuthService, AuthToken
+from herdsman_tpu.service.config import Config
+from herdsman_tpu.service.errors import ObjectNotFoundException
+from herdsman_tpu.service.execution import ExecutionService, JobDescriptor
+from herdsman_tpu.service.keystore import KeyService
+from herdsman_tpu.service.runner import StorageJobRunner
+from herdsman_tpu.service.session import SessionService
+from herdsman_tpu.service.storage import DataFrameEntry, StorageService
+
+log = logging.getLogger("herdsman")
+
+
+def serialize_server_key(sk: ServerKey) -> bytes:
+    buf = io.BytesIO()
+    np.savez_compressed(buf, bsk=sk.bsk, ksk=sk.ksk,
+                        params=np.array([sk.params.name], dtype=object))
+    return buf.getvalue()
+
+
+def deserialize_server_key(data: bytes) -> ServerKey:
+    z = np.load(io.BytesIO(data), allow_pickle=True)
+    params = PARAM_SETS[str(z["params"][0])]
+    return ServerKey(params, z["bsk"], z["ksk"])
+
+
+class Coordinator:
+    def __init__(self, config: Config, engine: Optional[str] = None):
+        self.config = config
+        level = getattr(logging, config.logging.level.upper(), logging.INFO)
+        logging.basicConfig(level=level)
+        self.auth = AuthService(config.security.secret_key,
+                                config.security.token_lifetime)
+        self.sessions = SessionService()
+        self.keys = KeyService(config.server.key_directory)
+        self.storage = StorageService(config.server.storage_directory)
+        self.execution = ExecutionService(self.keys, self.storage)
+        self._engine = engine or (
+            config.mesh_workers.engine if config.mesh_workers else "conv_i8"
+        )
+        self._session_dsk: dict[str, object] = {}  # session -> DeviceServerKey
+        self.execution.set_runner(self._run_job)
+
+    # ---- auth (reference src/controller/auth_controller.cpp) ----
+
+    def authorize_connection(self, authentication_token: str) -> str:
+        return self.auth.authenticate(authentication_token)
+
+    def _validate(self, token: str) -> AuthToken:
+        return self.auth.validate_token(token)
+
+    # ---- sessions (reference src/controller/session_controller.cpp) ----
+
+    def create_session(self, token: str, name: str):
+        user = self._validate(token)
+        return self.sessions.create_session(user.user_id, name)
+
+    def destroy_session(self, token: str, session_uuid: str) -> None:
+        user = self._validate(token)
+        self.sessions.destroy_session_by_uuid(user.user_id, session_uuid)
+
+    def list_sessions(self, token: str):
+        user = self._validate(token)
+        return self.sessions.list_sessions(user.user_id)
+
+    def _check_session(self, token: str, session_uuid: str) -> AuthToken:
+        user = self._validate(token)
+        if not self.sessions.session_exists_by_uuid(user.user_id, session_uuid):
+            raise ObjectNotFoundException(f"no session {session_uuid}")
+        return user
+
+    # ---- keys (client-streamed in the reference,
+    #            src/controller/session_controller.cpp:120-207) ----
+
+    def add_key(self, token: str, session_uuid: str, schema_type: SchemaType,
+                size: int, chunks: Iterable[bytes]) -> None:
+        self._check_session(token, session_uuid)
+        buf = bytearray()
+        for chunk in chunks:
+            buf.extend(chunk)
+            if len(buf) > size:
+                raise ValueError(
+                    f"key upload overrun: {len(buf)} > declared {size}"
+                )
+        if len(buf) != size:
+            raise ValueError(f"short key upload: {len(buf)} of {size} bytes")
+        self.keys.add_key(session_uuid, schema_type, bytes(buf))
+        self._session_dsk.pop(session_uuid, None)
+
+    def remove_key(self, token: str, session_uuid: str,
+                   schema_type: SchemaType) -> None:
+        self._check_session(token, session_uuid)
+        self.keys.remove_key(session_uuid, schema_type)
+        self._session_dsk.pop(session_uuid, None)
+
+    def list_keys(self, token: str, session_uuid: str) -> list[SchemaType]:
+        self._check_session(token, session_uuid)
+        return self.keys.list_keys(session_uuid)
+
+    # ---- data frames (reference src/controller/storage_controller.cpp) ----
+
+    def begin_data_frame_upload(
+        self, token: str, session_uuid: str, name: str,
+        schema_type: SchemaType, columns: Sequence[ColumnMeta],
+        row_count: int, partitions: int,
+    ) -> DataFrameEntry:
+        """First message of the bidi stream: validates and replies with the
+        new frame's metadata (reference :55-113)."""
+        self._check_session(token, session_uuid)
+        if not self.keys.key_exists(session_uuid, schema_type):
+            raise ObjectNotFoundException(
+                f"upload the {schema_type.name} key before frames "
+                "(reference storage_controller.cpp:90-98)"
+            )
+        frame_uuid = self.storage.create_data_frame(
+            session_uuid, name, schema_type, columns, row_count, partitions
+        )
+        return self.storage.get_data_frame(session_uuid, frame_uuid)
+
+    def append_data_frame(self, token: str, session_uuid: str,
+                          frame_uuid: str, data: bytes) -> int:
+        self._check_session(token, session_uuid)
+        try:
+            return self.storage.append_to_data_frame(
+                session_uuid, frame_uuid, data
+            )
+        except ValueError:
+            # over/under-run aborts delete the frame (reference :128-150)
+            self.storage.remove_data_frame(session_uuid, frame_uuid)
+            raise
+
+    def finish_data_frame_upload(self, token: str, session_uuid: str,
+                                 frame_uuid: str) -> None:
+        self._check_session(token, session_uuid)
+        try:
+            self.storage.mark_data_frame_as_uploaded(session_uuid, frame_uuid)
+        except ValueError:
+            self.storage.remove_data_frame(session_uuid, frame_uuid)
+            raise
+
+    def list_data_frames(
+        self, token: str, session_uuid: str,
+        schema_type: Optional[SchemaType] = None,
+    ) -> list[DataFrameEntry]:
+        self._check_session(token, session_uuid)
+        return self.storage.list_session_data_frames(session_uuid, schema_type)
+
+    def remove_data_frame(self, token: str, session_uuid: str,
+                          frame_uuid: str) -> None:
+        self._check_session(token, session_uuid)
+        self.storage.remove_data_frame(session_uuid, frame_uuid)
+
+    def download_data_frame(self, token: str, session_uuid: str,
+                            frame_uuid: str) -> Iterable[bytes]:
+        """Stream partition contents (implemented; the reference returns
+        UNIMPLEMENTED, src/controller/storage_controller.cpp:264-273)."""
+        self._check_session(token, session_uuid)
+        entry = self.storage.get_data_frame(session_uuid, frame_uuid)
+        for part in range(entry.partitions):
+            path = self.storage.partition_path(session_uuid, frame_uuid, part)
+            yield path.read_bytes() if path.exists() else b""
+
+    # ---- execution (reference src/controller/execution_controller.cpp) ----
+
+    def _device_key(self, session_uuid: str):
+        if session_uuid not in self._session_dsk:
+            from herdsman_tpu.ops.server_key import device_server_key
+
+            data = self.keys.read_key(session_uuid, SchemaType.TFHE_BOOL)
+            sk = deserialize_server_key(data)
+            layouts = {
+                "conv_i8": ("bsk_conv",),
+                "gather_u32": ("bsk_ext",),
+                "pallas_bt": ("bsk_bt",),
+            }.get(self._engine, ("bsk_ext",))
+            self._session_dsk[session_uuid] = device_server_key(
+                sk, layouts=layouts
+            )
+        return self._session_dsk[session_uuid]
+
+    def _run_job(self, job: JobDescriptor):
+        dsk = self._device_key(job.session_uuid)
+        runner = StorageJobRunner(self.storage, dsk, engine=self._engine)
+        return runner(job)
+
+    def schedule_job(self, token: str, session_uuid: str,
+                     plan: ExecutionPlan | str,
+                     concurrency_limit: int = 1) -> JobDescriptor:
+        self._check_session(token, session_uuid)
+        if isinstance(plan, str):
+            plan = ExecutionPlan.from_json(plan)  # raises MappingError
+        if not isinstance(plan, ExecutionPlan):
+            raise MappingError("not an execution plan")
+        return self.execution.schedule_job(session_uuid, plan,
+                                           concurrency_limit)
+
+    def get_job_state(self, token: str, session_uuid: str, job_uuid: str):
+        self._check_session(token, session_uuid)
+        return self.execution.get_job_state(session_uuid, job_uuid)
+
+    def list_jobs(self, token: str, session_uuid: str):
+        self._check_session(token, session_uuid)
+        return self.execution.list_jobs(session_uuid)
+
+    def describe_job(self, token: str, session_uuid: str, job_uuid: str):
+        self._check_session(token, session_uuid)
+        return self.execution.describe_job(session_uuid, job_uuid)
+
+    def wait_for_job(self, token: str, session_uuid: str, job_uuid: str,
+                     timeout: float = 300.0):
+        self._check_session(token, session_uuid)
+        return self.execution.wait_for_job(session_uuid, job_uuid, timeout)
+
+    def shutdown(self) -> None:
+        self.execution.shutdown()

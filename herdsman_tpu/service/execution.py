@@ -1,0 +1,228 @@
+"""ExecutionService — job scheduling, bookkeeping and the executor loop.
+
+Replaces the reference's ExecutionService + Executor pair (reference
+src/service/execution_service.cpp, src/execution/executor/executor.cpp):
+
+- schedule_job: validate plan, analyze + lock resources (keys, frames),
+  build a job descriptor, FIFO-enqueue, wake the executor thread
+  (reference :29-62);
+- a dedicated executor thread drains the queue (the reference's jthread
+  event loop, executor.cpp:46-80). Where the reference decomposes stages
+  into per-partition tasks dispatched over gRPC workers, here a job is
+  executed as XLA dataflow (compiler.stages.PlanCompiler) — the per-stage
+  "task" counts are still recorded for API parity;
+- per-job retry on failure up to RETRY_LIMIT = 3
+  (reference include/execution/executor/executor.hpp:17 applies it
+  per-task; dataflow execution retries the whole job);
+- job states WAITING_FOR_EXECUTION / PENDING / COMPLETED / FAILED
+  (herd_common JobStatus, usage reference :41,235,360,370);
+- on terminal states, locked resources are RELEASED — fixing the
+  reference's key/frame lock leaks (SURVEY.md §2.1).
+
+estimated_complexity is the job's total gate-bootstrap count (the reference
+returns 0 with a TODO, reference :60).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import logging
+import queue
+import threading
+import uuid as uuid_mod
+from typing import Callable, Optional
+
+from herdsman_tpu.circuit.model import MappingError
+from herdsman_tpu.circuit.plan import ExecutionPlan
+from herdsman_tpu.compiler.analyzer import analyze_required_resources
+from herdsman_tpu.service.errors import ObjectNotFoundException
+from herdsman_tpu.service.keystore import KeyService
+from herdsman_tpu.service.storage import StorageService
+
+log = logging.getLogger("herdsman.execution")
+
+RETRY_LIMIT = 3  # reference include/execution/executor/executor.hpp:17
+
+
+class JobStatus(enum.IntEnum):
+    WAITING_FOR_EXECUTION = 0
+    PENDING = 1
+    COMPLETED = 2
+    FAILED = 3
+
+
+@dataclasses.dataclass
+class JobDescriptor:
+    job_uuid: str
+    session_uuid: str
+    plan: ExecutionPlan
+    concurrency_limit: int
+    status: JobStatus = JobStatus.WAITING_FOR_EXECUTION
+    message: str = ""
+    estimated_complexity: int = 0
+    retries: int = 0
+    tasks_executed: int = 0
+    bootstraps_executed: int = 0
+    output_frames: dict[int, str] = dataclasses.field(default_factory=dict)
+
+
+# A job runner executes the plan against storage and returns
+# (tasks, bootstraps, {output_node_id: frame_uuid}).
+JobRunner = Callable[[JobDescriptor], tuple[int, int, dict[int, str]]]
+
+
+class ExecutionService:
+    def __init__(
+        self,
+        key_service: KeyService,
+        storage_service: StorageService,
+        runner: Optional[JobRunner] = None,
+    ):
+        self._keys = key_service
+        self._storage = storage_service
+        self._runner = runner
+        self._lock = threading.RLock()
+        self._jobs: dict[str, list[JobDescriptor]] = {}  # session -> jobs
+        self._queue: "queue.Queue[Optional[JobDescriptor]]" = queue.Queue()
+        self._thread = threading.Thread(
+            target=self._executor_loop, name="herdsman-executor", daemon=True
+        )
+        self._thread.start()
+
+    def set_runner(self, runner: JobRunner) -> None:
+        """Closes the service<->executor wiring cycle (the reference wires
+        set_worker_group/set_executor in src/main.cpp:122-128)."""
+        self._runner = runner
+
+    # ---- scheduling ----
+
+    def schedule_job(self, session_uuid: str, plan: ExecutionPlan,
+                     concurrency_limit: int = 1) -> JobDescriptor:
+        plan.validate()
+        req = analyze_required_resources(plan)
+
+        with self._lock:
+            for frame_uuid in req.required_data_frames:
+                if not self._storage.data_frame_exists(session_uuid, frame_uuid):
+                    raise ObjectNotFoundException(
+                        f"no data frame {frame_uuid}"
+                    )
+                entry = self._storage.get_data_frame(session_uuid, frame_uuid)
+                if not entry.uploaded:
+                    raise MappingError(
+                        f"data frame {frame_uuid} is not fully uploaded"
+                    )
+            for schema in req.required_keys:
+                if not self._keys.key_exists(session_uuid, schema):
+                    raise ObjectNotFoundException(
+                        f"no {schema.name} key in session {session_uuid}"
+                    )
+            # lock resources (reference :120-131)
+            for schema in req.required_keys:
+                self._keys.lock_key(session_uuid, schema)
+            for frame_uuid in req.required_data_frames:
+                self._storage.lock_data_frame(session_uuid, frame_uuid)
+
+            from herdsman_tpu.compiler.lower import circuit_cost
+            from herdsman_tpu.circuit.plan import MapperStage, ReduceStage
+
+            complexity = 0
+            for node in plan.execution_graph:
+                st = node.value
+                if isinstance(st, (MapperStage, ReduceStage)):
+                    complexity += circuit_cost(st.circuit)["bootstraps_per_row"]
+
+            job = JobDescriptor(
+                job_uuid=str(uuid_mod.uuid4()),
+                session_uuid=session_uuid,
+                plan=plan,
+                concurrency_limit=concurrency_limit,
+                estimated_complexity=complexity,
+            )
+            self._jobs.setdefault(session_uuid, []).append(job)
+        self._queue.put(job)
+        log.info("job %s scheduled (complexity %d)", job.job_uuid, complexity)
+        return job
+
+    # ---- monitoring (reference :66-118) ----
+
+    def _find(self, session_uuid: str, job_uuid: str) -> JobDescriptor:
+        for j in self._jobs.get(session_uuid, []):
+            if j.job_uuid == job_uuid:
+                return j
+        raise ObjectNotFoundException(f"no job {job_uuid}")
+
+    def get_job_state(self, session_uuid: str, job_uuid: str) -> JobDescriptor:
+        with self._lock:
+            return dataclasses.replace(self._find(session_uuid, job_uuid))
+
+    def list_jobs(self, session_uuid: str) -> list[JobDescriptor]:
+        with self._lock:
+            return [
+                dataclasses.replace(j)
+                for j in self._jobs.get(session_uuid, [])
+            ]
+
+    def describe_job(self, session_uuid: str, job_uuid: str) -> JobDescriptor:
+        """Implemented here; the reference leaves it unimplemented
+        (reference src/controller/execution_controller.cpp:19-22)."""
+        return self.get_job_state(session_uuid, job_uuid)
+
+    def wait_for_job(self, session_uuid: str, job_uuid: str,
+                     timeout: float = 300.0) -> JobDescriptor:
+        import time
+
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            job = self.get_job_state(session_uuid, job_uuid)
+            if job.status in (JobStatus.COMPLETED, JobStatus.FAILED):
+                return job
+            time.sleep(0.02)
+        raise TimeoutError(f"job {job_uuid} still running")
+
+    # ---- executor loop ----
+
+    def _release_resources(self, job: JobDescriptor) -> None:
+        req = analyze_required_resources(job.plan)
+        for schema in req.required_keys:
+            self._keys.unlock_key(job.session_uuid, schema)
+        for frame_uuid in req.required_data_frames:
+            self._storage.unlock_data_frame(job.session_uuid, frame_uuid)
+
+    def _executor_loop(self) -> None:
+        while True:
+            job = self._queue.get()
+            if job is None:
+                return
+            with self._lock:
+                job.status = JobStatus.PENDING
+            try:
+                if self._runner is None:
+                    raise RuntimeError("no job runner attached")
+                tasks, bootstraps, outputs = self._runner(job)
+                with self._lock:
+                    job.tasks_executed = tasks
+                    job.bootstraps_executed = bootstraps
+                    job.output_frames = outputs
+                    job.status = JobStatus.COMPLETED
+                    self._release_resources(job)
+                log.info("job %s completed (%d tasks, %d bootstraps)",
+                         job.job_uuid, tasks, bootstraps)
+            except Exception as e:  # noqa: BLE001 — job isolation boundary
+                with self._lock:
+                    job.retries += 1
+                    if job.retries < RETRY_LIMIT:
+                        job.status = JobStatus.WAITING_FOR_EXECUTION
+                        log.warning("job %s failed (%s); retry %d/%d",
+                                    job.job_uuid, e, job.retries, RETRY_LIMIT)
+                        self._queue.put(job)
+                    else:
+                        job.status = JobStatus.FAILED
+                        job.message = str(e)
+                        self._release_resources(job)
+                        log.error("job %s FAILED: %s", job.job_uuid, e)
+
+    def shutdown(self) -> None:
+        self._queue.put(None)
+        self._thread.join(timeout=5)

@@ -1,0 +1,245 @@
+"""StorageService — encrypted data-frame store, parity with the reference
+(reference include/service/storage_service.hpp, src/service/storage_service.cpp):
+
+- disk layout  storage_dir/<session_uuid>/<frame_uuid>/<partition_index>
+  (reference :229-251);
+- rows are length-prefixed: [u32 size][payload], the stored row includes the
+  header (reference :19-28);
+- partition sizes: rows//parts with the first rows%parts partitions getting
+  +1 row (reference :121-147, re-derived in get_partition_size :321-332);
+- streamed append splits rows across partition files in order;
+- catalog entries carry {uuid, name, schema_type, columns, row_count,
+  partitions, uploaded, busy}.
+
+The row splitter hot loop is delegated to the native C++ codec
+(herdsman_tpu.utils.rowcodec) when built, with a pure-Python fallback.
+
+Deviation (deliberate fix): the reference sets `busy` at job schedule and
+never clears it (SURVEY.md §2.1); here unlock_data_frame exists and the
+ExecutionService calls it on job completion.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+import threading
+import uuid as uuid_mod
+from typing import Optional, Sequence
+
+from herdsman_tpu.circuit.model import ColumnMeta, SchemaType
+from herdsman_tpu.service.errors import (
+    ObjectNotFoundException,
+    ResourceLockedException,
+)
+from herdsman_tpu.utils import rowcodec
+
+
+@dataclasses.dataclass
+class DataFrameEntry:
+    uuid: str
+    name: str
+    schema_type: SchemaType
+    columns: tuple[ColumnMeta, ...]
+    row_count: int
+    partitions: int
+    uploaded: bool = False
+    busy: int = 0  # refcount (reference uses a never-cleared bool)
+
+
+@dataclasses.dataclass
+class _UploadState:
+    current_partition: int = 0
+    rows_stored_in_partition: int = 0
+    rows_total: int = 0
+
+
+class StorageService:
+    def __init__(self, storage_dir: str | pathlib.Path):
+        self._dir = pathlib.Path(storage_dir)
+        self._dir.mkdir(parents=True, exist_ok=True)
+        self._lock = threading.RLock()
+        self._frames: dict[str, list[DataFrameEntry]] = {}
+        self._uploads: dict[str, _UploadState] = {}
+
+    # ---- helpers ----
+
+    def _find(self, session_uuid: str, frame_uuid: str) -> DataFrameEntry:
+        for e in self._frames.get(session_uuid, []):
+            if e.uuid == frame_uuid:
+                return e
+        raise ObjectNotFoundException(f"no data frame {frame_uuid}")
+
+    def frame_dir(self, session_uuid: str, frame_uuid: str) -> pathlib.Path:
+        return self._dir / session_uuid / frame_uuid
+
+    def partition_path(self, session_uuid: str, frame_uuid: str,
+                       partition: int) -> pathlib.Path:
+        return self.frame_dir(session_uuid, frame_uuid) / str(partition)
+
+    # ---- catalog ----
+
+    def create_data_frame(
+        self,
+        session_uuid: str,
+        name: str,
+        schema_type: SchemaType,
+        columns: Sequence[ColumnMeta],
+        row_count: int,
+        partitions: int,
+    ) -> str:
+        if not (0 < partitions <= row_count):
+            # reference validation src/controller/storage_controller.cpp:66-73
+            raise ValueError(
+                f"partitions must be in (0, row_count]; got {partitions} "
+                f"for {row_count} rows"
+            )
+        with self._lock:
+            frame_uuid = str(uuid_mod.uuid4())
+            entry = DataFrameEntry(
+                frame_uuid, name, schema_type, tuple(columns), row_count,
+                partitions,
+            )
+            self._frames.setdefault(session_uuid, []).append(entry)
+            self.frame_dir(session_uuid, frame_uuid).mkdir(
+                parents=True, exist_ok=True
+            )
+            self._uploads[frame_uuid] = _UploadState()
+            return frame_uuid
+
+    def data_frame_exists(self, session_uuid: str, frame_uuid: str) -> bool:
+        with self._lock:
+            try:
+                self._find(session_uuid, frame_uuid)
+                return True
+            except ObjectNotFoundException:
+                return False
+
+    def get_data_frame(self, session_uuid: str,
+                       frame_uuid: str) -> DataFrameEntry:
+        with self._lock:
+            return dataclasses.replace(self._find(session_uuid, frame_uuid))
+
+    def list_session_data_frames(
+        self, session_uuid: str, schema_type: Optional[SchemaType] = None
+    ) -> list[DataFrameEntry]:
+        with self._lock:
+            out = [
+                dataclasses.replace(e)
+                for e in self._frames.get(session_uuid, [])
+            ]
+        if schema_type is not None:
+            out = [e for e in out if e.schema_type == schema_type]
+        return out
+
+    # ---- partition math (reference formula) ----
+
+    def get_partition_size(self, session_uuid: str, frame_uuid: str,
+                           partition: int) -> int:
+        e = self.get_data_frame(session_uuid, frame_uuid)
+        chunk = e.row_count // e.partitions
+        rem = e.row_count % e.partitions
+        return chunk + (1 if partition < rem else 0)
+
+    def get_partition_count(self, session_uuid: str, frame_uuid: str) -> int:
+        return self.get_data_frame(session_uuid, frame_uuid).partitions
+
+    # ---- streamed upload ----
+
+    def append_to_data_frame(self, session_uuid: str, frame_uuid: str,
+                             data: bytes) -> int:
+        """Append a chunk of length-prefixed rows, splitting across partition
+        files (reference src/service/storage_service.cpp:100-150). Returns
+        rows read. Raises ValueError on overrun or a truncated row."""
+        with self._lock:
+            entry = self._find(session_uuid, frame_uuid)
+            state = self._uploads.get(frame_uuid)
+            if state is None:
+                state = self._uploads[frame_uuid] = _UploadState()
+            chunk = entry.row_count // entry.partitions
+            rem = entry.row_count % entry.partitions
+
+            def max_rows(partition: int) -> int:
+                return chunk + (1 if partition < rem else 0)
+
+            frame_dir = self.frame_dir(session_uuid, frame_uuid)
+            rows_read = rowcodec.split_rows(
+                data,
+                frame_dir,
+                state,
+                max_rows,
+                entry.partitions,
+            )
+            state.rows_total += rows_read
+            if state.rows_total > entry.row_count:
+                raise ValueError(
+                    f"upload overrun: {state.rows_total} > {entry.row_count}"
+                )
+            return rows_read
+
+    def mark_data_frame_as_uploaded(self, session_uuid: str,
+                                    frame_uuid: str) -> None:
+        with self._lock:
+            entry = self._find(session_uuid, frame_uuid)
+            state = self._uploads.get(frame_uuid)
+            if state is not None and state.rows_total != entry.row_count:
+                raise ValueError(
+                    f"short upload: {state.rows_total} of {entry.row_count} "
+                    "rows"
+                )
+            entry.uploaded = True
+            self._uploads.pop(frame_uuid, None)
+
+    # ---- partition IO ----
+
+    def read_partition_rows(self, session_uuid: str, frame_uuid: str,
+                            partition: int) -> list[bytes]:
+        path = self.partition_path(session_uuid, frame_uuid, partition)
+        if not path.exists():
+            raise ObjectNotFoundException(f"no partition {partition}")
+        return rowcodec.parse_rows(path.read_bytes())
+
+    def write_partition_rows(self, session_uuid: str, frame_uuid: str,
+                             partition: int, rows: list[bytes]) -> None:
+        """Server-side partition materialization (intermediate frames are
+        created by the coordinator itself, reference
+        src/service/execution_service.cpp:524-549)."""
+        path = self.partition_path(session_uuid, frame_uuid, partition)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_bytes(rowcodec.frame_rows(rows))
+        with self._lock:
+            state = self._uploads.get(frame_uuid)
+            if state is not None:
+                state.rows_total += len(rows)
+
+    # ---- locking / removal ----
+
+    def lock_data_frame(self, session_uuid: str, frame_uuid: str) -> None:
+        with self._lock:
+            self._find(session_uuid, frame_uuid).busy += 1
+
+    def unlock_data_frame(self, session_uuid: str, frame_uuid: str) -> None:
+        with self._lock:
+            e = self._find(session_uuid, frame_uuid)
+            if e.busy > 0:
+                e.busy -= 1
+
+    def remove_data_frame(self, session_uuid: str, frame_uuid: str) -> None:
+        import shutil
+
+        with self._lock:
+            entry = self._find(session_uuid, frame_uuid)
+            if entry.busy > 0:
+                # reference refuses busy frames
+                # (src/controller/storage_controller.cpp:190-199)
+                raise ResourceLockedException(
+                    f"data frame {frame_uuid} is busy"
+                )
+            # NOTE the reference deletes the whole SESSION directory here
+            # (src/service/storage_service.cpp:296-305 removes chunks_path =
+            # storage_dir/<session>), destroying sibling frames — an evident
+            # bug we do not replicate: only the frame directory is removed.
+            shutil.rmtree(self.frame_dir(session_uuid, frame_uuid),
+                          ignore_errors=True)
+            self._frames[session_uuid].remove(entry)
+            self._uploads.pop(frame_uuid, None)

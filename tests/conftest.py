@@ -8,7 +8,8 @@ real accelerators instead.
 import os
 
 if not os.environ.get("HERDSMAN_TPU_TESTS"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # force-set: the dev shell may export JAX_PLATFORMS=axon (the TPU tunnel)
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -17,6 +18,13 @@ if not os.environ.get("HERDSMAN_TPU_TESTS"):
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+if not os.environ.get("HERDSMAN_TPU_TESTS"):
+    # the axon TPU-tunnel plugin ignores the JAX_PLATFORMS env var; the
+    # config flag is authoritative (must run before backend init)
+    import jax  # noqa: E402
+
+    jax.config.update("jax_platforms", "cpu")
 
 from herdsman_tpu.core import TOY, TEST_SMALL  # noqa: E402
 from herdsman_tpu.core import reference as ref  # noqa: E402

@@ -1,0 +1,170 @@
+"""End-to-end coordinator flow (BASELINE config 1): authorize -> session ->
+key upload -> encrypted frame upload (streamed, partitioned) -> map+reduce
+plan (JSON round-tripped, like the proto round-trip) -> job execution on
+device -> download -> decrypt -> compare against the plaintext oracle."""
+
+import numpy as np
+import pytest
+
+from herdsman_tpu.circuit import (
+    CircuitBuilder,
+    ColumnMeta,
+    DataType,
+    ExecutionPlan,
+    InputStage,
+    MapperStage,
+    OutputStage,
+    Policy,
+    ReduceStage,
+    SchemaType,
+)
+from herdsman_tpu.circuit.dag import DAG
+from herdsman_tpu.core import TOY
+from herdsman_tpu.core import client as client_lib
+from herdsman_tpu.core import reference as ref
+from herdsman_tpu.service.config import Config, ServerConfig, SecurityConfig
+from herdsman_tpu.service.coordinator import Coordinator, serialize_server_key
+from herdsman_tpu.service.execution import JobStatus
+from herdsman_tpu.service import frames as frame_codec
+from herdsman_tpu.utils import rowcodec
+
+IN_COLS = (ColumnMeta("a", DataType.UINT8), ColumnMeta("b", DataType.UINT8))
+
+
+def map_circuit():
+    """x = a XOR b, odd = parity(x)."""
+    cb = CircuitBuilder(IN_COLS)
+    x = cb.input_column("a") ^ cb.input_column("b")
+    parity = x.bits[0]
+    for bit in x.bits[1:]:
+        parity = parity ^ bit
+    cb.output("x", x)
+    cb.output("odd", parity)
+    return cb.build()
+
+
+MAP_OUT_COLS = (ColumnMeta("x", DataType.UINT8), ColumnMeta("odd", DataType.BIT))
+
+
+def reduce_circuit():
+    """Bitwise-XOR row combiner over the map output schema (doubled)."""
+    cb = CircuitBuilder(MAP_OUT_COLS + MAP_OUT_COLS)
+    x = cb.input_column_at(0) ^ cb.input_column_at(2)
+    odd = cb.input_column_at(1).bits[0] ^ cb.input_column_at(3).bits[0]
+    cb.output("x", x)
+    cb.output("odd", odd)
+    return cb.build()
+
+
+@pytest.fixture(scope="module")
+def coordinator(tmp_path_factory):
+    d = tmp_path_factory.mktemp("herd")
+    cfg = Config(
+        server=ServerConfig(key_directory=str(d / "keys"),
+                            storage_directory=str(d / "storage")),
+        security=SecurityConfig(secret_key="test-secret"),
+    )
+    coord = Coordinator(cfg, engine="conv_i8")
+    yield coord
+    coord.shutdown()
+
+
+@pytest.fixture(scope="module")
+def client_session(coordinator):
+    rng = np.random.default_rng(99)
+    ck, sk = ref.keygen(TOY, rng)
+    token = coordinator.authorize_connection("admin==true")
+    session = coordinator.create_session(token, "e2e")
+    key_bytes = serialize_server_key(sk)
+    # chunked client-streamed key upload (reference session_controller:120-207)
+    chunks = [key_bytes[i:i + 1 << 16] for i in range(0, len(key_bytes), 1 << 16)]
+    coordinator.add_key(token, session.uuid, SchemaType.TFHE_BOOL,
+                        len(key_bytes), chunks)
+    return token, session, ck, rng
+
+
+def upload_rows(coordinator, token, session_uuid, name, columns, rows_ct,
+                partitions):
+    meta = coordinator.begin_data_frame_upload(
+        token, session_uuid, name, SchemaType.TFHE_BOOL, columns,
+        rows_ct.shape[0], partitions,
+    )
+    payloads = frame_codec.rows_to_payloads(np.asarray(rows_ct))
+    framed = rowcodec.frame_rows(payloads)
+    # stream in ~3 chunks on row boundaries
+    per = max(1, len(payloads) // 3)
+    off = 0
+    for i in range(0, len(payloads), per):
+        chunk = rowcodec.frame_rows(payloads[i:i + per])
+        coordinator.append_data_frame(token, session_uuid, meta.uuid, chunk)
+        off += len(chunk)
+    assert off == len(framed)
+    coordinator.finish_data_frame_upload(token, session_uuid, meta.uuid)
+    return meta.uuid
+
+
+def build_plan(frame_uuid, policy):
+    g = DAG()
+    inp = g.emplace(InputStage(frame_uuid))
+    mp = g.emplace(MapperStage(map_circuit()))
+    rd = g.emplace(ReduceStage(reduce_circuit(), policy, per_node_count=2))
+    out = g.emplace(OutputStage("result"))
+    g.add_edge(inp, mp)
+    g.add_edge(mp, rd)
+    g.add_edge(rd, out)
+    return ExecutionPlan(SchemaType.TFHE_BOOL, g)
+
+
+@pytest.mark.parametrize(
+    "policy", [Policy.SEQUENCED, Policy.PARALLEL, Policy.PARALLEL_FULL]
+)
+def test_e2e_map_reduce(coordinator, client_session, policy):
+    token, session, ck, rng = client_session
+    table = [(3, 5), (200, 100), (255, 255), (17, 4), (128, 1)]
+    rows_ct = client_lib.encrypt_rows(ck, IN_COLS, table, rng)
+    frame_uuid = upload_rows(
+        coordinator, token, session.uuid, f"in-{policy.name}", IN_COLS,
+        rows_ct, partitions=2,
+    )
+
+    # JSON round-trip the plan (the proto round-trip analog)
+    plan_json = build_plan(frame_uuid, policy).to_json()
+    job = coordinator.schedule_job(token, session.uuid, plan_json)
+    assert job.estimated_complexity > 0
+    done = coordinator.wait_for_job(token, session.uuid, job.job_uuid,
+                                    timeout=900)
+    assert done.status == JobStatus.COMPLETED, done.message
+    assert done.tasks_executed > 0
+
+    # plaintext oracle
+    xs = [a ^ b for a, b in table]
+    expect_x = 0
+    expect_odd = 0
+    for x in xs:
+        expect_x ^= x
+        expect_odd ^= bin(x).count("1") & 1
+
+    [(out_node, out_frame)] = done.output_frames.items()
+    payloads = []
+    for chunk in coordinator.download_data_frame(token, session.uuid,
+                                                 out_frame):
+        payloads.extend(rowcodec.parse_rows(chunk))
+    assert len(payloads) == 1
+    row = frame_codec.payloads_to_rows(payloads, 9, TOY)
+    dec = client_lib.decrypt_rows(ck, MAP_OUT_COLS, row)[0]
+    assert dec["x"] == expect_x
+    assert dec["odd"] == expect_odd
+
+    # intermediate frames are catalogued (reference behavior)
+    frames = coordinator.list_data_frames(token, session.uuid)
+    names = [f.name for f in frames]
+    assert any(n.startswith("intermediate-") for n in names)
+    assert any(n.startswith("reduce-") for n in names)
+
+
+def test_job_listing_and_describe(coordinator, client_session):
+    token, session, ck, rng = client_session
+    jobs = coordinator.list_jobs(token, session.uuid)
+    assert jobs and all(j.status == JobStatus.COMPLETED for j in jobs)
+    d = coordinator.describe_job(token, session.uuid, jobs[0].job_uuid)
+    assert d.bootstraps_executed > 0

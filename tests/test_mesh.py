@@ -1,0 +1,71 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh: the sharded
+herd step must be BIT-IDENTICAL to the single-device path (the limb psum is
+exact uint32 wraparound addition)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from herdsman_tpu.core import TOY
+from herdsman_tpu.core import reference as ref
+from herdsman_tpu.mesh import (
+    bootstrap_bool_sharded,
+    gate_step_sharded,
+    make_mesh,
+    shard_server_key,
+)
+from herdsman_tpu.ops import bootstrap as bs
+from herdsman_tpu.ops import gates
+from herdsman_tpu.ops.server_key import device_server_key
+
+
+@pytest.fixture(scope="module")
+def sharded_setup(toy_keys):
+    _, sk, _ = toy_keys
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(batch=4, limb=2)
+    dsk = device_server_key(sk, layouts=("bsk_conv",))
+    return mesh, dsk, shard_server_key(dsk, mesh)
+
+
+def test_sharded_bootstrap_bit_identical(toy_keys, sharded_setup):
+    ck, sk, rng = toy_keys
+    mesh, dsk, dsk_sharded = sharded_setup
+    B = 8  # 2 per batch shard
+    bits = rng.integers(0, 2, B).astype(bool)
+    ct = jnp.asarray(ref.encrypt_bool(ck, bits, rng))
+
+    single = np.asarray(
+        bs.bootstrap_bool_batch(dsk, ct, engine="conv_i8")
+    )
+    sharded = np.asarray(
+        bootstrap_bool_sharded(dsk_sharded, mesh, ct, engine="conv_i8")
+    )
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_sharded_gate_step(toy_keys, sharded_setup):
+    ck, sk, rng = toy_keys
+    mesh, dsk, dsk_sharded = sharded_setup
+    B = 8
+    bits1 = rng.integers(0, 2, B).astype(bool)
+    bits2 = rng.integers(0, 2, B).astype(bool)
+    ids_np = rng.integers(0, 6, B)
+    c1 = jnp.asarray(ref.encrypt_bool(ck, bits1, rng))
+    c2 = jnp.asarray(ref.encrypt_bool(ck, bits2, rng))
+    out = gate_step_sharded(
+        dsk_sharded, mesh, jnp.asarray(ids_np, dtype=jnp.int32), c1, c2,
+        engine="conv_i8",
+    )
+    got = ref.lwe_decrypt_bool(ck, np.asarray(out))
+    tables = [
+        lambda x, y: x & y, lambda x, y: x | y,
+        lambda x, y: not (x and y), lambda x, y: not (x or y),
+        lambda x, y: x ^ y, lambda x, y: not (x ^ y),
+    ]
+    expect = np.array(
+        [bool(tables[int(g)](bool(x), bool(y)))
+         for g, x, y in zip(ids_np, bits1, bits2)]
+    )
+    np.testing.assert_array_equal(got, expect)

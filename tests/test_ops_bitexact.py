@@ -16,13 +16,19 @@ from herdsman_tpu.ops.server_key import device_server_key
 
 U32 = np.uint32
 
-ENGINES = ["gather_u32", "conv_i8"]
+ENGINES = ["gather_u32", "conv_i8", "pallas_bt"]
+# scan/jit-wrapped paths skip pallas engines on CPU (interpret-in-scan is
+# pathologically slow to compile); pallas coverage comes from the unrolled
+# blind-rotate/bootstrap tests above + TPU benches
+ENGINES_XLA = ["gather_u32", "conv_i8"]
 
 
 @pytest.fixture(scope="module")
 def toy_device_key(toy_keys):
     _, sk, _ = toy_keys
-    return device_server_key(sk)
+    return device_server_key(
+        sk, layouts=("bsk_ext", "bsk_conv", "bsk_bt")
+    )
 
 
 def rand_u32(rng, *shape):
@@ -95,9 +101,12 @@ def test_blind_rotate_bitexact(toy_keys, toy_device_key, engine):
     bits = np.array([True, False, True, False])
     ct = ref.encrypt_bool(ck, bits, rng)
     tv = ref.make_test_poly(TOY)
+    # pallas engines run eager+unrolled on CPU: interpret-mode pallas inside
+    # lax.scan is pathologically slow to compile
+    unroll = engine.startswith("pallas")
     got = np.asarray(
         bs.blind_rotate_batch(toy_device_key, jnp.asarray(ct), jnp.asarray(tv),
-                              engine=engine)
+                              engine=engine, unroll=unroll)
     )
     for i in range(B):
         expect = ref.blind_rotate(sk, ct[i], tv)
@@ -126,16 +135,26 @@ def test_full_bootstrap_bitexact(toy_keys, toy_device_key, engine):
     ck, sk, rng = toy_keys
     bits = np.array([True, False, False, True])
     ct = ref.encrypt_bool(ck, bits, rng)
-    got = np.asarray(
-        bs.bootstrap_bool_batch(toy_device_key, jnp.asarray(ct), engine=engine)
-    )
+    if engine.startswith("pallas"):
+        # eager unrolled pipeline (no jit/scan around interpret-mode pallas)
+        acc = bs.blind_rotate_batch(
+            toy_device_key, jnp.asarray(ct),
+            bs.make_test_poly(TOY), engine=engine, unroll=True,
+        )
+        raw = bs.sample_extract_batch(TOY, acc)
+        got = np.asarray(bs.key_switch_batch(toy_device_key, raw))
+    else:
+        got = np.asarray(
+            bs.bootstrap_bool_batch(toy_device_key, jnp.asarray(ct),
+                                    engine=engine)
+        )
     for i in range(len(bits)):
         expect = ref.bootstrap_bool(sk, ct[i])
         np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
         assert ref.lwe_decrypt_bool(ck, got[i]) == bits[i]
 
 
-@pytest.mark.parametrize("engine", ENGINES)
+@pytest.mark.parametrize("engine", ENGINES_XLA)
 def test_gate_batch_heterogeneous(toy_keys, toy_device_key, engine):
     """One batched device call evaluating different gate types at once."""
     ck, sk, rng = toy_keys
@@ -152,7 +171,7 @@ def test_gate_batch_heterogeneous(toy_keys, toy_device_key, engine):
     c2 = ref.encrypt_bool(ck, b2, rng)
     ids = jnp.asarray([gates.GATE_IDS[c[0]] for c in cases], dtype=jnp.int32)
     out = gates.gate_batch(
-        device_server_key(sk),
+        toy_device_key,
         gates.GateBatch(ids, jnp.asarray(c1), jnp.asarray(c2)),
         engine=engine,
     )
@@ -160,7 +179,7 @@ def test_gate_batch_heterogeneous(toy_keys, toy_device_key, engine):
     np.testing.assert_array_equal(got, np.array([c[3] for c in cases], bool))
 
 
-@pytest.mark.parametrize("engine", ENGINES)
+@pytest.mark.parametrize("engine", ENGINES_XLA)
 def test_mux_batch(toy_keys, toy_device_key, engine):
     ck, sk, rng = toy_keys
     combos = [(s, a, b) for s in (0, 1) for a in (0, 1) for b in (0, 1)]
