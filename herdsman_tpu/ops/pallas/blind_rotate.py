@@ -40,19 +40,28 @@ def _kernel(d_ref, bt_ref, out_ref, acc_ref, *, P: int, HALF: int,
     ct = pl.program_id(1)
     rt = pl.program_id(2)
     m = (ct - rt % HALF) % (2 * HALF)
-    sign = jnp.where(m >= HALF, jnp.int8(-1), jnp.int8(1))
+    neg = m >= HALF  # stored blocks cover m < HALF; the rest are negations
 
-    dslice = d_ref[0] * sign                             # [Bt, P] i8
     tile = bt_ref[0, 0]                                  # [P, (k+1)*4*P] i8
-    prod = jnp.dot(dslice, tile, preferred_element_type=I32)
+    prod = jnp.dot(d_ref[0], tile, preferred_element_type=I32)
 
-    @pl.when(rt == 0)
+    first = rt == 0
+
+    @pl.when(jnp.logical_and(first, jnp.logical_not(neg)))
     def _():
         acc_ref[:] = prod
 
-    @pl.when(rt > 0)
+    @pl.when(jnp.logical_and(first, neg))
+    def _():
+        acc_ref[:] = -prod
+
+    @pl.when(jnp.logical_and(jnp.logical_not(first), jnp.logical_not(neg)))
     def _():
         acc_ref[:] = acc_ref[:] + prod
+
+    @pl.when(jnp.logical_and(jnp.logical_not(first), neg))
+    def _():
+        acc_ref[:] = acc_ref[:] - prod
 
     @pl.when(rt == RT - 1)
     def _():
