@@ -51,14 +51,60 @@ def get_keys(params_name: str):
     return ck, sk
 
 
+def bench_rns(args) -> None:
+    """BASELINE config 3: RNS polymul (N=4096, 3 moduli) + RLWE key switch."""
+    import jax
+    import jax.numpy as jnp
+
+    from herdsman_tpu.ops import rns
+
+    N = args.ntt_n
+    ctx = rns.make_rns(N, 3)
+    rng = np.random.default_rng(0)
+    B = args.batch
+    a = jnp.asarray(
+        np.stack([rng.integers(0, p, (B, N)).astype(np.uint32)
+                  for p in ctx.primes], axis=0))
+    b = jnp.asarray(
+        np.stack([rng.integers(0, p, (B, N)).astype(np.uint32)
+                  for p in ctx.primes], axis=0))
+    fn = jax.jit(lambda x, y: rns.polymul(ctx, x, y))
+    t0 = time.time()
+    jax.block_until_ready(fn(a, b))
+    log(f"rns polymul compile: {time.time() - t0:.1f}s "
+        f"(N={N}, primes={ctx.primes}, batch={B})")
+    times = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        jax.block_until_ready(fn(a, b))
+        times.append(time.time() - t0)
+    dt = min(times)
+    rate = B / dt
+    log(f"best {dt * 1e3:.2f} ms => {rate:.1f} polymuls/s "
+        f"({rate * 3:.0f} limb-polymuls/s)")
+    print(json.dumps({
+        "metric": f"rns_negacyclic_polymul_n{N}_l3_per_sec",
+        "value": round(rate, 2),
+        "unit": "polymuls/s/chip",
+        "vs_baseline": 0.0,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--metric", default="bootstrap",
+                    choices=["bootstrap", "rns"])
     ap.add_argument("--params", default="std128")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--engine", default=os.environ.get("HERDSMAN_BENCH_ENGINE",
                                                        "conv_i8"))
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--ntt-n", type=int, default=4096)
     args = ap.parse_args()
+
+    if args.metric == "rns":
+        bench_rns(args)
+        return
 
     import jax
     import jax.numpy as jnp
