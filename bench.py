@@ -118,9 +118,12 @@ def main() -> None:
         f"params={args.params} batch={args.batch}")
 
     ck, sk = get_keys(args.params)
-    layout = {"conv_i8": ("bsk_conv",), "gather_u32": ("bsk_ext",),
-              "pallas_bt": ("bsk_bt",)}.get(
-        args.engine, ("bsk_ext", "bsk_conv"))
+    if args.engine.startswith("pallas"):
+        layout = ("bsk_bt",)
+    else:
+        layout = {"conv_i8": ("bsk_conv",),
+                  "gather_u32": ("bsk_ext",)}.get(
+            args.engine, ("bsk_ext", "bsk_conv"))
     dsk = device_server_key(sk, layouts=layout)
 
     rng = np.random.default_rng(7)
@@ -147,6 +150,13 @@ def main() -> None:
     rate = args.batch / dt
     log(f"times: {['%.3f' % t for t in times]}; best {dt * 1e3:.1f} ms "
         f"for batch {args.batch} => {rate:.1f} bootstraps/s/chip")
+
+    from herdsman_tpu.utils import roofline
+    sol = roofline.speed_of_light(dsk.params, args.batch)
+    log(f"roofline ({sol['device']}, int8): "
+        f"{sol['roofline_bootstraps_per_sec']:.0f} bootstraps/s "
+        f"=> {100 * rate / sol['roofline_bootstraps_per_sec']:.1f}% of "
+        "speed-of-light")
 
     print(json.dumps({
         "metric": "tfhe_gate_bootstraps_per_sec_per_chip",

@@ -76,6 +76,10 @@ ENGINES: dict[str, tuple[Callable, str]] = {
     "conv_i8": (_ep_conv_i8, "bsk_conv"),
 }
 
+# whole-step engines: fn(params, acc, a_i, bsk_i) -> new acc (kernels that
+# fuse rotate+decompose+external-product+accumulate)
+STEP_ENGINES: dict[str, tuple[Callable, str]] = {}
+
 
 def _register_pallas_engine() -> None:
     # Imported lazily: pallas engines self-register.
@@ -104,8 +108,18 @@ def blind_rotate_batch(
     p = dsk.params
     if engine.startswith("pallas"):
         _register_pallas_engine()
-    ep, key_layout = ENGINES[engine]
+    step_mode = engine in STEP_ENGINES
+    if step_mode:
+        step_fn, key_layout = STEP_ENGINES[engine]
+    else:
+        ep, key_layout = ENGINES[engine]
     bsk = getattr(dsk, key_layout)
+    B0 = ct.shape[0]
+    if step_mode and B0 > 128 and B0 % 128:
+        pad = (-B0) % 128
+        ct = jnp.concatenate(
+            [ct, jnp.zeros((pad, ct.shape[1]), dtype=ct.dtype)], axis=0
+        )
     B = ct.shape[0]
     tilde = mod_switch_2N(p, ct)  # [B, n+1]
     a_t = tilde[:, : p.n]
@@ -119,14 +133,19 @@ def blind_rotate_batch(
         [jnp.zeros((B, p.k, p.N), dtype=U32), body[:, None, :]], axis=1
     )
 
-    def step(acc, xs):
-        bsk_i, a_i = xs
-        rot = poly.negacyclic_monomial_mul(acc, a_i[:, None])  # [B, k+1, N]
-        diff = rot - acc
-        digits = signed_decompose(diff, p.bg_bits, p.levels)  # [B,k+1,N,l]
-        digits = jnp.moveaxis(digits, -1, 2).reshape(B, dsk.R, p.N)
-        prod = ep(p, digits, bsk_i)
-        return acc + prod, None
+    if step_mode:
+        def step(acc, xs):
+            bsk_i, a_i = xs
+            return step_fn(p, acc, a_i, bsk_i), None
+    else:
+        def step(acc, xs):
+            bsk_i, a_i = xs
+            rot = poly.negacyclic_monomial_mul(acc, a_i[:, None])
+            diff = rot - acc
+            digits = signed_decompose(diff, p.bg_bits, p.levels)
+            digits = jnp.moveaxis(digits, -1, 2).reshape(B, dsk.R, p.N)
+            prod = ep(p, digits, bsk_i)
+            return acc + prod, None
 
     if unroll:
         # Python-loop variant: identical math, no lax.scan. Used for CPU
@@ -135,9 +154,9 @@ def blind_rotate_batch(
         acc = acc0
         for i in range(p.n):
             acc, _ = step(acc, (bsk[i], a_t.T[i]))
-        return acc
+        return acc[:B0]
     acc, _ = jax.lax.scan(step, acc0, (bsk, a_t.T))
-    return acc
+    return acc[:B0]
 
 
 def sample_extract_batch(p: TFHEParams, acc: jax.Array) -> jax.Array:

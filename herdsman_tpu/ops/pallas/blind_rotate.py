@@ -1,11 +1,12 @@
-"""Pallas TPU kernel for the external-product contraction — the blind-rotation
-hot loop (the compute that replaces the reference worker herd's OpenFHE gate
-evaluation, reference src/execution/worker/grpc/grpc_worker_group.cpp:85-94).
+"""Pallas TPU kernels for the external-product contraction — the
+blind-rotation hot loop (the compute that replaces the reference worker
+herd's OpenFHE gate evaluation, reference
+src/execution/worker/grpc/grpc_worker_group.cpp:85-94).
 
-Engine ``pallas_bt``: the negacyclic Toeplitz matrix of each bootstrapping-key
-polynomial is pre-expanded at key-prep into P x P diagonal blocks
-(server_key.bsk_bt; only the first N/P diagonals are stored — the rest are
-negations).  The per-step external product
+Engine ``pallas_bt``: the negacyclic Toeplitz matrix of each
+bootstrapping-key polynomial is pre-expanded at key-prep into P x P diagonal
+blocks (server_key.bsk_bt; only the first N/P diagonals are stored — the
+rest are negations). The per-step external product
 
     prod[b, c, :] = sum_r digits[b, r, :] (*) bsk_i[r, c, :]   (negacyclic)
 
@@ -13,8 +14,9 @@ then becomes a pure gathered-block int8 matmul: grid (b-chunk, col-tile,
 row-tile), each cell one [Bt, P] x [P, (k+1)*4*P] MXU dot accumulated into a
 VMEM scratch; the diagonal-block gather is BlockSpec index_map arithmetic
 (m = (ct - rt mod HALF) mod 2*HALF), so there is ZERO expansion work at run
-time — the kernel is DMA + MXU only.  Limb recombination to uint32 happens
-in-kernel on the last row-tile.
+time — the kernel is DMA + MXU only. Limb recombination to uint32 and the
+CMux accumulate (acc += prod, engine ``pallas_fused``) happen in-kernel on
+the last row-tile.
 """
 
 from __future__ import annotations
@@ -35,102 +37,132 @@ I32 = jnp.int32
 I8 = jnp.int8
 
 
+def _combine_limbs(acc: jax.Array, kp1: int, P: int) -> jax.Array:
+    a = acc.reshape(acc.shape[0], kp1, 4, P).astype(U32)
+    return (
+        a[:, :, 0, :]
+        + (a[:, :, 1, :] << U32(8))
+        + (a[:, :, 2, :] << U32(16))
+        + (a[:, :, 3, :] << U32(24))
+    )
+
+
 def _kernel(d_ref, bt_ref, out_ref, acc_ref, *, P: int, HALF: int,
-            RT: int, kp1: int):
-    ct = pl.program_id(1)
-    rt = pl.program_id(2)
-    m = (ct - rt % HALF) % (2 * HALF)
-    neg = m >= HALF  # stored blocks cover m < HALF; the rest are negations
+            R: int, kp1: int, fused: bool, glwe_ref=None):
+    """Grid (bc, r): one cell processes ALL HALF x HALF (col-tile, sub-row)
+    block pairs of GGSW row-poly r — every BT diagonal index is STATIC, and
+    each cell issues HALF^2 MXU dots, so per-cell overhead is amortized.
 
-    tile = bt_ref[0, 0]                                  # [P, (k+1)*4*P] i8
-    prod = jnp.dot(d_ref[0], tile, preferred_element_type=I32)
+    d_ref   [HALF, Bt, P] i8   digits row-tiles of poly r
+    bt_ref  [1, HALF, P, C4P]  the HALF stored diagonal blocks of poly r
+    acc_ref [HALF, Bt, C4P] i32 scratch, persists across r
+    out_ref [Bt, kp1, N] u32   written at the last r
+    """
+    r = pl.program_id(1)
 
-    first = rt == 0
+    for ct in range(HALF):
+        total = None
+        for sub in range(HALF):
+            m = (ct - sub) % (2 * HALF)
+            tile = bt_ref[0, m % HALF]           # [P, C4P], static index
+            prod = jnp.dot(d_ref[sub], tile, preferred_element_type=I32)
+            if m >= HALF:
+                prod = -prod
+            total = prod if total is None else total + prod
 
-    @pl.when(jnp.logical_and(first, jnp.logical_not(neg)))
+        @pl.when(r == 0)
+        def _(ct=ct, total=total):
+            acc_ref[ct] = total
+
+        @pl.when(r > 0)
+        def _(ct=ct, total=total):
+            acc_ref[ct] = acc_ref[ct] + total
+
+    @pl.when(r == R - 1)
     def _():
-        acc_ref[:] = prod
+        for ct in range(HALF):
+            combined = _combine_limbs(acc_ref[ct], kp1, P)  # [Bt, kp1, P]
+            if fused:
+                combined = glwe_ref[:, :, ct * P:(ct + 1) * P] + combined
+            out_ref[:, :, ct * P:(ct + 1) * P] = combined
 
-    @pl.when(jnp.logical_and(first, neg))
-    def _():
-        acc_ref[:] = -prod
 
-    @pl.when(jnp.logical_and(jnp.logical_not(first), jnp.logical_not(neg)))
-    def _():
-        acc_ref[:] = acc_ref[:] + prod
-
-    @pl.when(jnp.logical_and(jnp.logical_not(first), neg))
-    def _():
-        acc_ref[:] = acc_ref[:] - prod
-
-    @pl.when(rt == RT - 1)
-    def _():
-        acc = acc_ref[:].reshape(acc_ref.shape[0], kp1, 4, P)
-        u = acc.astype(U32)
-        combined = (
-            u[:, :, 0, :]
-            + (u[:, :, 1, :] << U32(8))
-            + (u[:, :, 2, :] << U32(16))
-            + (u[:, :, 3, :] << U32(24))
-        )
-        out_ref[:] = combined                            # [Bt, k+1, P] u32
+def _kernel_fused(d_ref, bt_ref, glwe_ref, out_ref, acc_ref, **kw):
+    _kernel(d_ref, bt_ref, out_ref, acc_ref, glwe_ref=glwe_ref, **kw)
 
 
 def _use_interpret() -> bool:
-    """Interpret mode off-TPU so the kernel is testable on CPU CI."""
+    """Interpret mode off-TPU so the kernels are testable on CPU CI."""
     return jax.default_backend() != "tpu"
+
+
+def external_product_bt_pretiled(
+    params: TFHEParams, d8: jax.Array, bsk_bt_i: jax.Array,
+    glwe: jax.Array | None = None, bt_chunk: int = 128,
+) -> jax.Array:
+    """d8 [RT, B, P] i8 row-tile-major digits; bsk_bt_i
+    [R, HALF, P, (k+1)*4*P] i8.  Returns the external product [B, k+1, N]
+    u32 — plus `glwe` if given (the fused CMux accumulate)."""
+    p = params
+    P, HALF = bt_tile(p)
+    R = (p.k + 1) * p.levels
+    B = d8.shape[1]
+    Bt = B if B <= bt_chunk else bt_chunk
+    assert B % Bt == 0, "pad batch to a multiple of the chunk first"
+    BC = B // Bt
+    C4P = (p.k + 1) * 4 * P
+
+    in_specs = [
+        pl.BlockSpec((HALF, Bt, P), lambda bc, r: (r, bc, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, HALF, P, C4P), lambda bc, r: (r, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [d8, bsk_bt_i]
+    kernel = _kernel
+    if glwe is not None:
+        in_specs.append(
+            pl.BlockSpec((Bt, p.k + 1, p.N), lambda bc, r: (bc, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(glwe)
+        kernel = _kernel_fused
+
+    return pl.pallas_call(
+        functools.partial(kernel, P=P, HALF=HALF, R=R, kp1=p.k + 1,
+                          fused=glwe is not None),
+        grid=(BC, R),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (Bt, p.k + 1, p.N), lambda bc, r: (bc, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, p.k + 1, p.N), U32),
+        scratch_shapes=[
+            pltpu.VMEM((HALF, Bt, C4P), I32),
+        ],
+        interpret=_use_interpret(),
+    )(*args)
 
 
 def external_product_bt(params: TFHEParams, digits: jax.Array,
                         bsk_bt_i: jax.Array) -> jax.Array:
-    """digits [B, R, N] i32 (values in [-Bg/2, Bg/2)), bsk_bt_i
-    [R, HALF, P, (k+1)*4*P] i8  ->  [B, k+1, N] u32."""
+    """digits [B, R, N] i32 (values in [-Bg/2, Bg/2)) -> [B, k+1, N] u32."""
     p = params
     P, HALF = bt_tile(p)
     R = (p.k + 1) * p.levels
     RT = R * HALF
     B = digits.shape[0]
-
-    Bt = B if B <= 256 else 256
+    Bt = B if B <= 128 else 128
     pad = (-B) % Bt
-    d8 = digits.astype(I8).reshape(B, RT, P)  # row-tile major: rt = r*HALF+sub
+    d8 = digits.astype(I8).reshape(B, RT, P)
     if pad:
         d8 = jnp.concatenate(
             [d8, jnp.zeros((pad, RT, P), dtype=I8)], axis=0
         )
-    BC = d8.shape[0] // Bt
     # [RT, B, P]: blocks (1, Bt, P) satisfy Mosaic's trailing-dims rule
     d8 = jnp.swapaxes(d8, 0, 1)
-
-    out = pl.pallas_call(
-        functools.partial(_kernel, P=P, HALF=HALF, RT=RT, kp1=p.k + 1),
-        grid=(BC, HALF, RT),
-        in_specs=[
-            pl.BlockSpec(
-                (1, Bt, P), lambda bc, ct, rt: (rt, bc, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, P, (p.k + 1) * 4 * P),
-                lambda bc, ct, rt, _HALF=HALF: (
-                    rt // _HALF,
-                    ((ct - rt % _HALF) % (2 * _HALF)) % _HALF,
-                    0,
-                    0,
-                ),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (Bt, p.k + 1, P), lambda bc, ct, rt: (bc, 0, ct),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((BC * Bt, p.k + 1, p.N), U32),
-        scratch_shapes=[
-            pltpu.VMEM((Bt, (p.k + 1) * 4 * P), I32),
-        ],
-        interpret=_use_interpret(),
-    )(d8, bsk_bt_i)
+    out = external_product_bt_pretiled(p, d8, bsk_bt_i)
     return out[:B]
 
 
@@ -139,5 +171,17 @@ def _ep_pallas_bt(p: TFHEParams, digits: jax.Array,
     return external_product_bt(p, digits, bsk_bt_i)
 
 
+def _step_pallas_fused(p: TFHEParams, acc: jax.Array, a_i: jax.Array,
+                       bsk_bt_i: jax.Array) -> jax.Array:
+    """Whole CMux step with both pallas kernels: acc <- acc + BSK (x)
+    (X^a * acc - acc)."""
+    from herdsman_tpu.ops.pallas.rotate_decompose import rotate_decompose
+
+    d8 = rotate_decompose(p, acc, a_i)
+    return external_product_bt_pretiled(p, d8, bsk_bt_i, glwe=acc)
+
+
 # self-registration (imported lazily from ops.bootstrap)
 bs.ENGINES.setdefault("pallas_bt", (_ep_pallas_bt, "bsk_bt"))
+bs.STEP_ENGINES = getattr(bs, "STEP_ENGINES", {})
+bs.STEP_ENGINES.setdefault("pallas_fused", (_step_pallas_fused, "bsk_bt"))

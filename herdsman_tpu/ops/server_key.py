@@ -134,10 +134,12 @@ def _block_toeplitz_layout(p: TFHEParams, ext: np.ndarray) -> np.ndarray:
     q_idx = np.arange(P)[None, None, :]
     idx = (P * m_idx + q_idx - p_idx) % twoN  # [HALF, P, P]
     out = np.empty((n, R, HALF, P, kp1 * 4 * P), dtype=np.int8)
-    for i in range(n):  # chunked to bound peak memory (u32 gather is 4x)
-        blocks = ext[i][..., idx]  # [R, k+1, HALF, P, P] u32
-        limbs = _np_i8_limbs(blocks)  # [R, k+1, HALF, P, P, 4]
-        # -> [R, HALF, P, k+1, 4, P]
-        reord = np.transpose(limbs, (0, 2, 3, 1, 5, 4))
-        out[i] = reord.reshape(R, HALF, P, kp1 * 4 * P)
+    step = max(1, (1 << 28) // (R * kp1 * HALF * P * P * 4))  # ~256MB chunks
+    for i0 in range(0, n, step):
+        i1 = min(i0 + step, n)
+        blocks = ext[i0:i1][..., idx]  # [chunk, R, k+1, HALF, P, P] u32
+        limbs = _np_i8_limbs(blocks)   # [chunk, R, k+1, HALF, P, P, 4]
+        # -> [chunk, R, HALF, P, k+1, 4, P]
+        reord = np.transpose(limbs, (0, 1, 3, 4, 2, 6, 5))
+        out[i0:i1] = reord.reshape(i1 - i0, R, HALF, P, kp1 * 4 * P)
     return out

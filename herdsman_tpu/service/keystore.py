@@ -35,6 +35,20 @@ class KeyService:
         self._dir.mkdir(parents=True, exist_ok=True)
         self._lock = threading.RLock()
         self._keys: dict[str, dict[SchemaType, KeyEntry]] = {}
+        # rehydrate from disk: the layout key_dir/<session>/<int>.key is
+        # self-describing, so keys survive a coordinator restart (the
+        # reference loses its in-memory catalog, SURVEY.md §5)
+        for session_dir in self._dir.iterdir():
+            if not session_dir.is_dir():
+                continue
+            for key_file in session_dir.glob("*.key"):
+                try:
+                    schema = SchemaType(int(key_file.stem))
+                except ValueError:
+                    continue
+                self._keys.setdefault(session_dir.name, {})[schema] = (
+                    KeyEntry(schema, key_file)
+                )
 
     def _entry(self, session_uuid: str, schema_type: SchemaType) -> KeyEntry:
         try:

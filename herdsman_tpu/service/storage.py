@@ -55,12 +55,74 @@ class _UploadState:
 
 
 class StorageService:
+    """The catalog is persisted to <storage_dir>/catalog.json and rehydrated
+    on startup, so frames survive a coordinator restart (the reference keeps
+    its catalog multimaps purely in-memory and loses them, SURVEY.md §5
+    checkpoint/resume: "jobs and catalogs do not [survive]")."""
+
     def __init__(self, storage_dir: str | pathlib.Path):
         self._dir = pathlib.Path(storage_dir)
         self._dir.mkdir(parents=True, exist_ok=True)
         self._lock = threading.RLock()
         self._frames: dict[str, list[DataFrameEntry]] = {}
         self._uploads: dict[str, _UploadState] = {}
+        self._load_catalog()
+
+    # ---- durability ----
+
+    @property
+    def _catalog_path(self) -> pathlib.Path:
+        return self._dir / "catalog.json"
+
+    def _save_catalog(self) -> None:
+        import json
+
+        data = {
+            session: [
+                {
+                    "uuid": e.uuid,
+                    "name": e.name,
+                    "schema_type": int(e.schema_type),
+                    "columns": [
+                        {"name": c.name, "dtype": int(c.dtype)}
+                        for c in e.columns
+                    ],
+                    "row_count": e.row_count,
+                    "partitions": e.partitions,
+                    "uploaded": e.uploaded,
+                }
+                for e in entries
+            ]
+            for session, entries in self._frames.items()
+        }
+        tmp = self._catalog_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(data))
+        tmp.replace(self._catalog_path)
+
+    def _load_catalog(self) -> None:
+        import json
+
+        from herdsman_tpu.circuit.model import DataType
+
+        if not self._catalog_path.exists():
+            return
+        data = json.loads(self._catalog_path.read_text())
+        for session, entries in data.items():
+            self._frames[session] = [
+                DataFrameEntry(
+                    uuid=e["uuid"],
+                    name=e["name"],
+                    schema_type=SchemaType(e["schema_type"]),
+                    columns=tuple(
+                        ColumnMeta(c["name"], DataType(c["dtype"]))
+                        for c in e["columns"]
+                    ),
+                    row_count=e["row_count"],
+                    partitions=e["partitions"],
+                    uploaded=e["uploaded"],
+                )
+                for e in entries
+            ]
 
     # ---- helpers ----
 
@@ -105,6 +167,7 @@ class StorageService:
                 parents=True, exist_ok=True
             )
             self._uploads[frame_uuid] = _UploadState()
+            self._save_catalog()
             return frame_uuid
 
     def data_frame_exists(self, session_uuid: str, frame_uuid: str) -> bool:
@@ -189,6 +252,7 @@ class StorageService:
                 )
             entry.uploaded = True
             self._uploads.pop(frame_uuid, None)
+            self._save_catalog()
 
     # ---- partition IO ----
 
@@ -243,3 +307,4 @@ class StorageService:
                           ignore_errors=True)
             self._frames[session_uuid].remove(entry)
             self._uploads.pop(frame_uuid, None)
+            self._save_catalog()

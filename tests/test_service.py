@@ -353,3 +353,28 @@ def test_job_listing(tmp_path):
     assert {j.job_uuid for j in jobs} == {j1.job_uuid, j2.job_uuid}
     assert ex.describe_job("s", j1.job_uuid).status == JobStatus.COMPLETED
     ex.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# restart durability (checkpoint/resume — absent in the reference, SURVEY §5)
+# ---------------------------------------------------------------------------
+
+def test_storage_catalog_survives_restart(tmp_path):
+    st = StorageService(tmp_path)
+    fu = st.create_data_frame("s", "t", SchemaType.TFHE_BOOL, COLS, 2, 1)
+    st.append_to_data_frame("s", fu, rowcodec.frame_rows([b"a" * 4, b"b" * 4]))
+    st.mark_data_frame_as_uploaded("s", fu)
+    # simulate coordinator restart
+    st2 = StorageService(tmp_path)
+    entry = st2.get_data_frame("s", fu)
+    assert entry.uploaded and entry.row_count == 2
+    assert entry.columns == COLS
+    assert st2.read_partition_rows("s", fu, 0) == [b"a" * 4, b"b" * 4]
+
+
+def test_keystore_survives_restart(tmp_path):
+    ks = KeyService(tmp_path)
+    ks.add_key("sess", SchemaType.TFHE_BOOL, b"keybytes")
+    ks2 = KeyService(tmp_path)
+    assert ks2.key_exists("sess", SchemaType.TFHE_BOOL)
+    assert ks2.read_key("sess", SchemaType.TFHE_BOOL) == b"keybytes"
