@@ -51,6 +51,36 @@ def get_keys(params_name: str):
     return ck, sk
 
 
+def get_dsk(args, sk):
+    """Device key with the engine's layout; the block-Toeplitz expansion is
+    cached on disk (it is deterministic in the key)."""
+    import jax.numpy as jnp
+
+    from herdsman_tpu.ops.server_key import (
+        DeviceServerKey, device_server_key,
+    )
+
+    if args.engine.startswith("pallas"):
+        bt_cache = f"/tmp/herdsman_bt_{args.params}.npy"
+        kskl_cache = f"/tmp/herdsman_kskl_{args.params}.npy"
+        if os.path.exists(bt_cache) and os.path.exists(kskl_cache):
+            log(f"loading cached BT layout from {bt_cache}")
+            return DeviceServerKey(
+                params=sk.params, bsk_ext=None, bsk_conv=None,
+                bsk_bt=jnp.asarray(np.load(bt_cache, mmap_mode="r")),
+                ksk_limbs=jnp.asarray(np.load(kskl_cache)), ksk=None,
+            )
+        t0 = time.time()
+        dsk = device_server_key(sk, layouts=("bsk_bt",))
+        log(f"BT layout prep: {time.time() - t0:.1f}s")
+        np.save(bt_cache, np.asarray(dsk.bsk_bt))
+        np.save(kskl_cache, np.asarray(dsk.ksk_limbs))
+        return dsk
+    layout = {"conv_i8": ("bsk_conv",), "gather_u32": ("bsk_ext",)}.get(
+        args.engine, ("bsk_ext", "bsk_conv"))
+    return device_server_key(sk, layouts=layout)
+
+
 def bench_rns(args) -> None:
     """BASELINE config 3: RNS polymul (N=4096, 3 moduli) + RLWE key switch."""
     import jax
@@ -90,10 +120,56 @@ def bench_rns(args) -> None:
     }))
 
 
+def bench_noise(args) -> None:
+    """Empirical gate-failure margin: chained gates at production params,
+    measuring the output phase-error distribution against the q/16 decision
+    boundary (the correctness gate behind the headline number)."""
+    import jax
+    import jax.numpy as jnp
+
+    from herdsman_tpu.core import reference as ref
+    from herdsman_tpu.ops import gates
+    from herdsman_tpu.ops.server_key import device_server_key
+
+    ck, sk = get_keys(args.params)
+    dsk = get_dsk(args, sk)
+    rng = np.random.default_rng(123)
+    B = args.batch
+    b1 = rng.integers(0, 2, B).astype(bool)
+    b2 = rng.integers(0, 2, B).astype(bool)
+    c1 = jnp.asarray(ref.encrypt_bool(ck, b1, rng))
+    c2 = jnp.asarray(ref.encrypt_bool(ck, b2, rng))
+    # worst-case-ish chain: XOR (noise x2) then AND on the result
+    x = gates.gate_batch(dsk, gates.GateBatch(
+        jnp.full((B,), gates.GATE_IDS["XOR"], dtype=jnp.int32), c1, c2),
+        engine=args.engine)
+    y = gates.gate_batch(dsk, gates.GateBatch(
+        jnp.full((B,), gates.GATE_IDS["AND"], dtype=jnp.int32), x, c1),
+        engine=args.engine)
+    xb = b1 ^ b2
+    yb = xb & b1
+    ok_x = (ref.lwe_decrypt_bool(ck, np.asarray(x)) == xb).all()
+    ok_y = (ref.lwe_decrypt_bool(ck, np.asarray(y)) == yb).all()
+    ph = ref.lwe_phase(ck.lwe_key, np.asarray(y)).astype(np.int64)
+    mu = np.where(yb, 1 << 29, -(1 << 29))
+    d = (ph - mu) % (1 << 32)
+    d = np.where(d >= 1 << 31, d - (1 << 32), d).astype(float) / (1 << 32)
+    sigma = float(d.std())
+    margin_sigmas = (1 / 16) / sigma if sigma > 0 else float("inf")
+    log(f"decrypt ok: xor={ok_x} and={ok_y}; phase-err std={sigma:.3e} q "
+        f"({margin_sigmas:.1f} sigma to the q/16 boundary)")
+    print(json.dumps({
+        "metric": f"gate_noise_margin_sigma_{args.params}",
+        "value": round(margin_sigmas, 2),
+        "unit": "sigma",
+        "vs_baseline": 1.0 if (ok_x and ok_y) else 0.0,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--metric", default="bootstrap",
-                    choices=["bootstrap", "rns"])
+                    choices=["bootstrap", "rns", "noise"])
     ap.add_argument("--params", default="std128")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--engine", default=os.environ.get("HERDSMAN_BENCH_ENGINE",
@@ -104,6 +180,9 @@ def main() -> None:
 
     if args.metric == "rns":
         bench_rns(args)
+        return
+    if args.metric == "noise":
+        bench_noise(args)
         return
 
     import jax
@@ -118,13 +197,7 @@ def main() -> None:
         f"params={args.params} batch={args.batch}")
 
     ck, sk = get_keys(args.params)
-    if args.engine.startswith("pallas"):
-        layout = ("bsk_bt",)
-    else:
-        layout = {"conv_i8": ("bsk_conv",),
-                  "gather_u32": ("bsk_ext",)}.get(
-            args.engine, ("bsk_ext", "bsk_conv"))
-    dsk = device_server_key(sk, layouts=layout)
+    dsk = get_dsk(args, sk)
 
     rng = np.random.default_rng(7)
     bits = rng.integers(0, 2, args.batch).astype(bool)

@@ -147,4 +147,25 @@ STD128 = TFHEParams(
     security_bits=128,
 )
 
-PARAM_SETS = {p.name: p for p in (TOY, TEST_SMALL, STD128)}
+# Throughput-oriented variant: 2 decomposition levels at Bg = 2^8 (16 bits)
+# instead of 3 x 7 (21 bits). The coarser gadget raises the decomposition
+# noise term to roughly the same magnitude as the key-noise term
+# (predicted output std ~2^-7.8 q against the q/16 margin, ~16 sigma; XOR's
+# doubled noise still ~13 sigma) while cutting the external-product MACs and
+# bootstrapping-key bytes by a third (R = (k+1)*l : 6 -> 4). Validated
+# empirically by `bench.py --metric noise`.
+STD128_FAST = TFHEParams(
+    name="std128_fast",
+    n=768,
+    lwe_std=float(2 ** 14),
+    N=1024,
+    k=1,
+    glwe_std=128.0,
+    bg_bits=8,
+    levels=2,
+    ks_base_bits=3,
+    ks_levels=5,
+    security_bits=128,
+)
+
+PARAM_SETS = {p.name: p for p in (TOY, TEST_SMALL, STD128, STD128_FAST)}
