@@ -64,7 +64,15 @@ class JobDescriptor:
     retries: int = 0
     tasks_executed: int = 0
     bootstraps_executed: int = 0
+    wall_time_s: float = 0.0
     output_frames: dict[int, str] = dataclasses.field(default_factory=dict)
+
+    @property
+    def bootstraps_per_sec(self) -> float:
+        return (
+            self.bootstraps_executed / self.wall_time_s
+            if self.wall_time_s > 0 else 0.0
+        )
 
 
 # A job runner executes the plan against storage and returns
@@ -200,15 +208,24 @@ class ExecutionService:
             try:
                 if self._runner is None:
                     raise RuntimeError("no job runner attached")
+                import time as _time
+
+                t0 = _time.monotonic()
                 tasks, bootstraps, outputs = self._runner(job)
+                wall = _time.monotonic() - t0
                 with self._lock:
                     job.tasks_executed = tasks
                     job.bootstraps_executed = bootstraps
+                    job.wall_time_s = wall
                     job.output_frames = outputs
                     job.status = JobStatus.COMPLETED
                     self._release_resources(job)
-                log.info("job %s completed (%d tasks, %d bootstraps)",
-                         job.job_uuid, tasks, bootstraps)
+                log.info(
+                    "job %s completed (%d tasks, %d bootstraps, %.2fs, "
+                    "%.1f bootstraps/s)",
+                    job.job_uuid, tasks, bootstraps, wall,
+                    job.bootstraps_per_sec,
+                )
             except Exception as e:  # noqa: BLE001 — job isolation boundary
                 with self._lock:
                     job.retries += 1
