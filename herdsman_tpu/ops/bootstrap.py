@@ -80,10 +80,15 @@ ENGINES: dict[str, tuple[Callable, str]] = {
 # fuse rotate+decompose+external-product+accumulate)
 STEP_ENGINES: dict[str, tuple[Callable, str]] = {}
 
+# whole-rotation engines: fn(params, acc0, a_t, bsk) -> final acc (a single
+# kernel owning the entire n-step loop; no lax.scan)
+ROTATION_ENGINES: dict[str, tuple[Callable, str]] = {}
+
 
 def _register_pallas_engine() -> None:
     # Imported lazily: pallas engines self-register.
     from herdsman_tpu.ops.pallas import blind_rotate as _  # noqa: F401
+    from herdsman_tpu.ops.pallas import mega as _mega  # noqa: F401
 
 
 # ---------------------------------------------------------------------------
@@ -109,13 +114,16 @@ def blind_rotate_batch(
     if engine.startswith("pallas"):
         _register_pallas_engine()
     step_mode = engine in STEP_ENGINES
-    if step_mode:
+    rotation_mode = engine in ROTATION_ENGINES
+    if rotation_mode:
+        rot_fn, key_layout = ROTATION_ENGINES[engine]
+    elif step_mode:
         step_fn, key_layout = STEP_ENGINES[engine]
     else:
         ep, key_layout = ENGINES[engine]
     bsk = getattr(dsk, key_layout)
     B0 = ct.shape[0]
-    if step_mode and B0 > 128 and B0 % 128:
+    if (step_mode or rotation_mode) and B0 > 128 and B0 % 128:
         pad = (-B0) % 128
         ct = jnp.concatenate(
             [ct, jnp.zeros((pad, ct.shape[1]), dtype=ct.dtype)], axis=0
@@ -132,6 +140,9 @@ def blind_rotate_batch(
     acc0 = jnp.concatenate(
         [jnp.zeros((B, p.k, p.N), dtype=U32), body[:, None, :]], axis=1
     )
+
+    if rotation_mode:
+        return rot_fn(p, acc0, a_t.T, bsk)[:B0]
 
     if step_mode:
         def step(acc, xs):

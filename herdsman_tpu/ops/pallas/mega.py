@@ -1,0 +1,165 @@
+"""The mega-kernel: an ENTIRE GINX blind rotation in one pallas_call.
+
+Grid (batch-chunk, step i, phase j): for each of the n CMux steps, phase
+j = 0 rotates the VMEM-resident accumulator by the per-row amount a~_i and
+writes gadget digits to a VMEM scratch; phases j = 1..R run the
+external-product MXU contraction for GGSW row j-1 against the streamed
+block-Toeplitz key blocks; the last phase recombines limbs and adds into
+the accumulator. The accumulator NEVER leaves VMEM during the whole
+rotation — HBM traffic is exactly: the bootstrapping key streamed once per
+batch-chunk, plus one read of acc0 and one write of the result. There are
+no per-step kernel launches, no scan glue, no intermediate arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from herdsman_tpu.core.params import TFHEParams
+from herdsman_tpu.ops import bootstrap as bs
+from herdsman_tpu.ops.server_key import bt_tile
+
+U32 = jnp.uint32
+I32 = jnp.int32
+I8 = jnp.int8
+
+
+def _neg_shift(v, s, N):
+    return jnp.concatenate(
+        [jnp.zeros_like(v[:, N - s:]) - v[:, N - s:], v[:, : N - s]], axis=-1
+    )
+
+
+def _mega_kernel(a_ref, acc0_ref, bt_ref, out_ref,
+                 acc_sc, dig_sc, ep_sc, *, p: TFHEParams, P: int,
+                 HALF: int, R: int):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _():
+        acc_sc[:] = acc0_ref[:]
+
+    # ---- phase 0: rotate + decompose into dig_sc ----
+    @pl.when(j == 0)
+    def _():
+        r_amt = a_ref[0, :].astype(U32)               # [Bt]
+        W = p.bg_bits * p.levels
+        Bg = 1 << p.bg_bits
+        half = Bg >> 1
+        offset = sum(half << (p.bg_bits * t) for t in range(p.levels))
+        for c in range(p.k + 1):
+            v = acc_sc[:, c, :]
+            rolled = v
+            for bit in range(p.log2_2N):
+                s = 1 << bit
+                shifted = (
+                    _neg_shift(rolled, s, p.N) if s < p.N
+                    else jnp.zeros_like(rolled) - rolled
+                )
+                take = ((r_amt >> U32(bit)) & U32(1)) != U32(0)
+                rolled = jnp.where(take[:, None], shifted, rolled)
+            diff = rolled - v
+            val = ((diff + U32(1 << (32 - W - 1))) >> U32(32 - W)) + U32(offset)
+            for lev in range(p.levels):
+                shift = p.bg_bits * (p.levels - 1 - lev)
+                d8 = (((val >> U32(shift)) & U32(Bg - 1)).astype(I32)
+                      - I32(half)).astype(I8)
+                row = c * p.levels + lev
+                for sub in range(HALF):
+                    dig_sc[row * HALF + sub] = d8[:, sub * P:(sub + 1) * P]
+
+    # ---- phases 1..R: external product for GGSW row j-1 ----
+    @pl.when(j > 0)
+    def _():
+        r_row = (j - 1) * HALF
+        for ct in range(HALF):
+            total = None
+            for sub in range(HALF):
+                m = (ct - sub) % (2 * HALF)
+                tile = bt_ref[0, 0, m % HALF]          # [P, C4P]
+                prod = jnp.dot(dig_sc[r_row + sub], tile,
+                               preferred_element_type=I32)
+                if m >= HALF:
+                    prod = -prod
+                total = prod if total is None else total + prod
+
+            @pl.when(j == 1)
+            def _(ct=ct, total=total):
+                ep_sc[ct] = total
+
+            @pl.when(j > 1)
+            def _(ct=ct, total=total):
+                ep_sc[ct] = ep_sc[ct] + total
+
+    # ---- last phase: recombine limbs, CMux-accumulate into acc ----
+    @pl.when(j == R)
+    def _():
+        for ct in range(HALF):
+            a = ep_sc[ct].reshape(ep_sc.shape[1], p.k + 1, 4, P).astype(U32)
+            combined = (
+                a[:, :, 0, :]
+                + (a[:, :, 1, :] << U32(8))
+                + (a[:, :, 2, :] << U32(16))
+                + (a[:, :, 3, :] << U32(24))
+            )
+            acc_sc[:, :, ct * P:(ct + 1) * P] = (
+                acc_sc[:, :, ct * P:(ct + 1) * P] + combined
+            )
+
+    @pl.when(jnp.logical_and(i == pl.num_programs(1) - 1, j == R))
+    def _():
+        out_ref[:] = acc_sc[:]
+
+
+def mega_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
+                      bsk_bt: jax.Array) -> jax.Array:
+    """acc0 [B, k+1, N] u32 (rotated test poly), a_t [n, B] i32 in [0, 2N),
+    bsk_bt [n, R, HALF, P, C4P] i8 -> final accumulator [B, k+1, N] u32."""
+    p = params
+    P, HALF = bt_tile(p)
+    R = (p.k + 1) * p.levels
+    B = acc0.shape[0]
+    Bt = B if B <= 128 else 128
+    assert B % Bt == 0, "pad batch to a multiple of 128 first"
+    BC = B // Bt
+    C4P = (p.k + 1) * 4 * P
+
+    return pl.pallas_call(
+        functools.partial(_mega_kernel, p=p, P=P, HALF=HALF, R=R),
+        grid=(BC, p.n, R + 1),
+        in_specs=[
+            pl.BlockSpec((1, Bt), lambda bc, i, j: (i, bc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, p.k + 1, p.N), lambda bc, i, j: (bc, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, HALF, P, C4P),
+                lambda bc, i, j: (i, jnp.maximum(j - 1, 0), 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((Bt, p.k + 1, p.N), lambda bc, i, j: (bc, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, p.k + 1, p.N), U32),
+        scratch_shapes=[
+            pltpu.VMEM((Bt, p.k + 1, p.N), U32),          # acc
+            pltpu.VMEM((R * HALF, Bt, P), I8),            # digits
+            pltpu.VMEM((HALF, Bt, C4P), I32),             # ep accumulator
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(a_t, acc0, bsk_bt)
+
+
+def _register() -> None:
+    bs.ROTATION_ENGINES = getattr(bs, "ROTATION_ENGINES", {})
+    bs.ROTATION_ENGINES.setdefault("pallas_mega",
+                                   (mega_blind_rotate, "bsk_bt"))
+
+
+_register()

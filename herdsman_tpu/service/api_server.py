@@ -110,7 +110,11 @@ def _frame_meta(entry) -> "pb.DataFrameMetadata":
 
 def build_server(coord: Coordinator, address: str = "127.0.0.1:0",
                  max_workers: int = 8) -> tuple[grpc.Server, int]:
-    """Returns (server, bound_port). Caller starts/stops the server."""
+    """Returns (server, bound_port). Caller starts/stops the server.
+
+    TLS: when config.security.ssl is set, the port is bound with
+    grpc.ssl_server_credentials (the reference's SslServerCredentials path,
+    src/main.cpp:39-57); otherwise insecure (the LOCAL_TCP analog)."""
     guard = _Guard(coord)
 
     # ---- Auth ----
@@ -344,7 +348,23 @@ def build_server(coord: Coordinator, address: str = "127.0.0.1:0",
         grpc.method_handlers_generic_handler("herdsman.Execution",
                                              execution_handlers),
     ))
-    port = server.add_insecure_port(address)
+    ssl = coord.config.security.ssl
+    if ssl:
+        with open(ssl.key_path, "rb") as f:
+            key = f.read()
+        with open(ssl.certificate_path, "rb") as f:
+            cert = f.read()
+        root = None
+        if ssl.root_certificates_path:
+            with open(ssl.root_certificates_path, "rb") as f:
+                root = f.read()
+        creds = grpc.ssl_server_credentials(
+            [(key, cert)], root_certificates=root,
+            require_client_auth=root is not None,
+        )
+        port = server.add_secure_port(address, creds)
+    else:
+        port = server.add_insecure_port(address)
     return server, port
 
 

@@ -38,9 +38,19 @@ class ServerConfig:
 
 
 @dataclasses.dataclass
+class SslConfig:
+    """server-side TLS (reference security.ssl, src/main.cpp:29-57)."""
+
+    certificate_path: str = ""
+    key_path: str = ""
+    root_certificates_path: str = ""      # optional client-auth CA
+
+
+@dataclasses.dataclass
 class SecurityConfig:
     secret_key: str = ""
     token_lifetime: int = 43200           # reference src/utils/config.cpp:66
+    ssl: Optional[SslConfig] = None
 
 
 @dataclasses.dataclass
@@ -99,9 +109,18 @@ def load_config(path: str) -> Config:
         storage_directory=_require(server, "storage_directory", "server"),
     )
     security = _require(raw, "security", "")
+    ssl_node = security.get("ssl")
+    ssl_cfg = None
+    if ssl_node:
+        ssl_cfg = SslConfig(
+            certificate_path=_require(ssl_node, "certificate", "security.ssl"),
+            key_path=_require(ssl_node, "key", "security.ssl"),
+            root_certificates_path=ssl_node.get("root_certificates", ""),
+        )
     cfg.security = SecurityConfig(
         secret_key=_require(security, "secret_key", "security"),
         token_lifetime=int(security.get("token_lifetime", 43200)),
+        ssl=ssl_cfg,
     )
     logging_node = raw.get("logging", {})
     level = str(logging_node.get("level", "info")).lower()

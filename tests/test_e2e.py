@@ -168,3 +168,53 @@ def test_job_listing_and_describe(coordinator, client_session):
     assert jobs and all(j.status == JobStatus.COMPLETED for j in jobs)
     d = coordinator.describe_job(token, session.uuid, jobs[0].job_uuid)
     assert d.bootstraps_executed > 0
+
+
+def test_branching_plan(coordinator, client_session):
+    """Stage/pipeline parallelism: one input feeding two independent mapper
+    branches, each with its own output (reference DAG readiness semantics,
+    src/service/execution_service.cpp:312-362)."""
+    token, session, ck, rng = client_session
+    table = [(1, 2), (3, 4)]
+    rows_ct = client_lib.encrypt_rows(ck, IN_COLS, table, rng)
+    frame_uuid = upload_rows(coordinator, token, session.uuid, "branch-in",
+                             IN_COLS, rows_ct, partitions=1)
+
+    from herdsman_tpu.circuit import CircuitBuilder
+
+    b1 = CircuitBuilder(IN_COLS)
+    b1.output("x", b1.input_column("a") ^ b1.input_column("b"))
+    b2 = CircuitBuilder(IN_COLS)
+    b2.output("y", b2.input_column("a") + b2.input_column("b"))
+
+    g = DAG()
+    inp = g.emplace(InputStage(frame_uuid))
+    m1 = g.emplace(MapperStage(b1.build()))
+    m2 = g.emplace(MapperStage(b2.build()))
+    o1 = g.emplace(OutputStage("xor"))
+    o2 = g.emplace(OutputStage("sum"))
+    g.add_edge(inp, m1)
+    g.add_edge(inp, m2)
+    g.add_edge(m1, o1)
+    g.add_edge(m2, o2)
+    plan = ExecutionPlan(SchemaType.TFHE_BOOL, g)
+
+    job = coordinator.schedule_job(token, session.uuid, plan)
+    done = coordinator.wait_for_job(token, session.uuid, job.job_uuid,
+                                    timeout=900)
+    assert done.status == JobStatus.COMPLETED, done.message
+    assert len(done.output_frames) == 2
+
+    for node_id, frame in done.output_frames.items():
+        payloads = []
+        for chunk in coordinator.download_data_frame(token, session.uuid,
+                                                     frame):
+            payloads.extend(rowcodec.parse_rows(chunk))
+        rows = frame_codec.payloads_to_rows(payloads, 8, TOY)
+        name = coordinator.storage.get_data_frame(session.uuid, frame).name
+        col = ColumnMeta("v", DataType.UINT8)
+        dec = [r["v"] for r in client_lib.decrypt_rows(ck, (col,), rows)]
+        if name == "xor":
+            assert dec == [a ^ b for a, b in table]
+        else:
+            assert dec == [(a + b) % 256 for a, b in table]

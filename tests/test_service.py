@@ -378,3 +378,40 @@ def test_keystore_survives_restart(tmp_path):
     ks2 = KeyService(tmp_path)
     assert ks2.key_exists("sess", SchemaType.TFHE_BOOL)
     assert ks2.read_key("sess", SchemaType.TFHE_BOOL) == b"keybytes"
+
+
+# ---------------------------------------------------------------------------
+# config loading
+# ---------------------------------------------------------------------------
+
+def test_load_template_yaml():
+    from herdsman_tpu.service.config import load_config
+
+    cfg = load_config("template.yaml")
+    assert cfg.server.port == 5000                 # reference default
+    assert cfg.security.token_lifetime == 43200    # reference default
+    assert cfg.mesh_workers.engine == "pallas_fused"
+    assert cfg.logging.level == "info"
+
+
+def test_config_missing_required(tmp_path):
+    from herdsman_tpu.service.config import ConfigError, load_config
+
+    p = tmp_path / "bad.yaml"
+    p.write_text("server:\n  hostname: x\n")
+    with pytest.raises(ConfigError):
+        load_config(str(p))
+
+
+def test_config_legacy_worker_shapes(tmp_path):
+    from herdsman_tpu.service.config import load_config
+
+    p = tmp_path / "legacy.yaml"
+    p.write_text(
+        "server:\n  hostname: x\n  key_directory: k\n"
+        "  storage_directory: s\n"
+        "security:\n  secret_key: z\n"
+        "workers:\n  grpc:\n    addresses: [a:1, b:2]\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.grpc_workers.addresses == ["a:1", "b:2"]
