@@ -16,6 +16,25 @@ if not os.environ.get("HERDSMAN_TPU_TESTS"):
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
 
+import pathlib  # noqa: E402
+import subprocess  # noqa: E402
+
+_ROOT = pathlib.Path(__file__).resolve().parent.parent
+if not (_ROOT / "native" / "build" / "libherdsman_native.so").exists():
+    # build artifacts are gitignored; build the native row codec on demand
+    try:
+        subprocess.run(
+            ["cmake", "-S", str(_ROOT / "native"), "-B",
+             str(_ROOT / "native" / "build"), "-G", "Ninja"],
+            check=True, capture_output=True,
+        )
+        subprocess.run(
+            ["cmake", "--build", str(_ROOT / "native" / "build")],
+            check=True, capture_output=True,
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        pass  # rowcodec falls back to Python; its test will flag this
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
