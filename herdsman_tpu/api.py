@@ -173,6 +173,22 @@ class EncUint:
     def __sub__(self, o: "EncUint") -> "EncUint":
         return self._ripple(o, subtract=True)
 
+    def __mul__(self, o: "EncUint") -> "EncUint":
+        """Shift-and-add multiply, mod 2^width."""
+        ctx = self.ctx
+        w = self.width
+        acc = None
+        for i in range(w):
+            yb = jnp.broadcast_to(o._bit(i)[:, None, :],
+                                  (self.batch, w - i, self.ctx.params.n + 1))
+            masked = ctx._gate("AND", self.data[:, : w - i, :], yb)
+            zeros = jnp.stack(
+                [ctx._const_bit(self.batch, False)] * i, axis=1
+            ) if i else masked[:, :0, :]
+            partial = EncUint(ctx, jnp.concatenate([zeros, masked], axis=1), w)
+            acc = partial if acc is None else acc + partial
+        return acc
+
     def eq(self, o: "EncUint") -> EncBit:
         ctx = self.ctx
         x = ctx._gate("XNOR", self.data, o.data)  # [B, w, n+1]

@@ -134,6 +134,20 @@ class Word:
             tuple(sel.mux(a, b) for a, b in zip(self.bits, other.bits, strict=True))
         )
 
+    def __mul__(self, o: "Word") -> "Word":
+        """Shift-and-add multiply, mod 2^width."""
+        assert len(self) == len(o)
+        b = self.builder
+        width = len(self)
+        zero = b.const(False)
+        acc: "Word | None" = None
+        for i in range(width):
+            # partial = (self & o.bits[i]) << i, truncated to width
+            masked = [self.bits[k] & o.bits[i] for k in range(width - i)]
+            partial = Word(tuple([zero] * i + masked))
+            acc = partial if acc is None else acc + partial
+        return acc
+
     def min(self, o: "Word") -> "Word":
         return self.mux(self.lt(o), o)
 

@@ -194,11 +194,13 @@ class Coordinator:
 
             data = self.keys.read_key(session_uuid, SchemaType.TFHE_BOOL)
             sk = deserialize_server_key(data)
-            layouts = {
-                "conv_i8": ("bsk_conv",),
-                "gather_u32": ("bsk_ext",),
-                "pallas_bt": ("bsk_bt",),
-            }.get(self._engine, ("bsk_ext",))
+            if self._engine.startswith("pallas"):
+                layouts = ("bsk_bt",)
+            else:
+                layouts = {
+                    "conv_i8": ("bsk_conv",),
+                    "gather_u32": ("bsk_ext",),
+                }.get(self._engine, ("bsk_ext",))
             self._session_dsk[session_uuid] = device_server_key(
                 sk, layouts=layouts
             )

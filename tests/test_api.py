@@ -46,3 +46,9 @@ def test_enc_bits(ctx):
     a = ctx.encrypt([1, 2, 3], width=4)
     b = ctx.encrypt([9, 10, 11], width=4)
     assert ctx.decrypt(x.mux(a, b)) == [1, 10, 3]
+
+
+def test_multiply(ctx):
+    a = ctx.encrypt([3, 7, 15], width=4)
+    b = ctx.encrypt([5, 3, 15], width=4)
+    assert ctx.decrypt(a * b) == [(3 * 5) % 16, (7 * 3) % 16, (15 * 15) % 16]

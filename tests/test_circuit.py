@@ -136,3 +136,14 @@ def test_builder_errors():
     w2 = b2.input_bit("x")
     with pytest.raises(MappingError):
         b.gate(GateOp.NOT, w2)  # cross-builder wire
+
+
+def test_multiply_plain():
+    b = CircuitBuilder([
+        ColumnMeta("x", DataType.UINT8), ColumnMeta("y", DataType.UINT8)
+    ])
+    b.output("p", b.input_column("x") * b.input_column("y"))
+    c = b.build()
+    rows = [(3, 5), (200, 100), (255, 255), (0, 77), (16, 16)]
+    for (x, y), o in zip(rows, evaluate_plain(c, rows)):
+        assert o["p"] == (x * y) % 256, (x, y)
