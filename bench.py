@@ -171,9 +171,9 @@ def main() -> None:
     ap.add_argument("--metric", default="bootstrap",
                     choices=["bootstrap", "rns", "noise"])
     ap.add_argument("--params", default="std128")
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--engine", default=os.environ.get("HERDSMAN_BENCH_ENGINE",
-                                                       "conv_i8"))
+                                                       "pallas_fused"))
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--ntt-n", type=int, default=4096)
     args = ap.parse_args()

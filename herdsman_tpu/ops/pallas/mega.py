@@ -48,7 +48,7 @@ def _mega_kernel(a_ref, acc0_ref, bt_ref, out_ref,
     # ---- phase 0: rotate + decompose into dig_sc ----
     @pl.when(j == 0)
     def _():
-        r_amt = a_ref[0, :].astype(U32)               # [Bt]
+        r_amt = a_ref[0, 0, :].astype(U32)            # [Bt]
         W = p.bg_bits * p.levels
         Bg = 1 << p.bg_bits
         half = Bg >> 1
@@ -134,7 +134,7 @@ def mega_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
         functools.partial(_mega_kernel, p=p, P=P, HALF=HALF, R=R),
         grid=(BC, p.n, R + 1),
         in_specs=[
-            pl.BlockSpec((1, Bt), lambda bc, i, j: (i, bc),
+            pl.BlockSpec((1, 1, Bt), lambda bc, i, j: (i, 0, bc),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Bt, p.k + 1, p.N), lambda bc, i, j: (bc, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -153,7 +153,7 @@ def mega_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
             pltpu.VMEM((HALF, Bt, C4P), I32),             # ep accumulator
         ],
         interpret=jax.default_backend() != "tpu",
-    )(a_t, acc0, bsk_bt)
+    )(a_t.reshape(p.n, 1, B), acc0, bsk_bt)
 
 
 def _register() -> None:

@@ -60,7 +60,13 @@ class Coordinator:
         self.sessions = SessionService()
         self.keys = KeyService(config.server.key_directory)
         self.storage = StorageService(config.server.storage_directory)
-        self.execution = ExecutionService(self.keys, self.storage)
+        self.execution = ExecutionService(
+            self.keys, self.storage,
+            journal_path=str(
+                __import__("pathlib").Path(config.server.storage_directory)
+                / "jobs.jsonl"
+            ),
+        )
         self._engine = engine or (
             config.mesh_workers.engine if config.mesh_workers else "conv_i8"
         )

@@ -86,6 +86,7 @@ class ExecutionService:
         key_service: KeyService,
         storage_service: StorageService,
         runner: Optional[JobRunner] = None,
+        journal_path: Optional[str] = None,
     ):
         self._keys = key_service
         self._storage = storage_service
@@ -93,10 +94,73 @@ class ExecutionService:
         self._lock = threading.RLock()
         self._jobs: dict[str, list[JobDescriptor]] = {}  # session -> jobs
         self._queue: "queue.Queue[Optional[JobDescriptor]]" = queue.Queue()
+        self._journal = journal_path
+        self._load_journal()
         self._thread = threading.Thread(
             target=self._executor_loop, name="herdsman-executor", daemon=True
         )
         self._thread.start()
+
+    # ---- durability (the reference loses all job state on restart,
+    #      SURVEY.md §5 checkpoint/resume) ----
+
+    def _journal_write(self, job: JobDescriptor) -> None:
+        if not self._journal:
+            return
+        import json
+
+        rec = {
+            "job_uuid": job.job_uuid,
+            "session_uuid": job.session_uuid,
+            "status": int(job.status),
+            "message": job.message,
+            "estimated_complexity": job.estimated_complexity,
+            "tasks_executed": job.tasks_executed,
+            "bootstraps_executed": job.bootstraps_executed,
+            "wall_time_s": job.wall_time_s,
+            "output_frames": job.output_frames,
+            "plan": job.plan.to_json(),
+        }
+        with open(self._journal, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def _load_journal(self) -> None:
+        if not self._journal:
+            return
+        import json
+        import os
+
+        if not os.path.exists(self._journal):
+            return
+        latest: dict[str, JobDescriptor] = {}
+        with open(self._journal) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                r = json.loads(line)
+                status = JobStatus(r["status"])
+                if status not in (JobStatus.COMPLETED, JobStatus.FAILED):
+                    # a non-terminal record from a crashed run
+                    status = JobStatus.FAILED
+                    r["message"] = r.get("message") or "coordinator restarted"
+                latest[r["job_uuid"]] = JobDescriptor(
+                    job_uuid=r["job_uuid"],
+                    session_uuid=r["session_uuid"],
+                    plan=ExecutionPlan.from_json(r["plan"]),
+                    concurrency_limit=1,
+                    status=status,
+                    message=r.get("message", ""),
+                    estimated_complexity=r.get("estimated_complexity", 0),
+                    tasks_executed=r.get("tasks_executed", 0),
+                    bootstraps_executed=r.get("bootstraps_executed", 0),
+                    wall_time_s=r.get("wall_time_s", 0.0),
+                    output_frames={
+                        int(k): v
+                        for k, v in r.get("output_frames", {}).items()
+                    },
+                )
+        for job in latest.values():
+            self._jobs.setdefault(job.session_uuid, []).append(job)
 
     def set_runner(self, runner: JobRunner) -> None:
         """Closes the service<->executor wiring cycle (the reference wires
@@ -149,6 +213,7 @@ class ExecutionService:
                 estimated_complexity=complexity,
             )
             self._jobs.setdefault(session_uuid, []).append(job)
+            self._journal_write(job)
         self._queue.put(job)
         log.info("job %s scheduled (complexity %d)", job.job_uuid, complexity)
         return job
@@ -220,6 +285,7 @@ class ExecutionService:
                     job.output_frames = outputs
                     job.status = JobStatus.COMPLETED
                     self._release_resources(job)
+                    self._journal_write(job)
                 log.info(
                     "job %s completed (%d tasks, %d bootstraps, %.2fs, "
                     "%.1f bootstraps/s)",
@@ -238,6 +304,7 @@ class ExecutionService:
                         job.status = JobStatus.FAILED
                         job.message = str(e)
                         self._release_resources(job)
+                        self._journal_write(job)
                         log.error("job %s FAILED: %s", job.job_uuid, e)
 
     def shutdown(self) -> None:

@@ -415,3 +415,30 @@ def test_config_legacy_worker_shapes(tmp_path):
     )
     cfg = load_config(str(p))
     assert cfg.grpc_workers.addresses == ["a:1", "b:2"]
+
+
+def test_job_journal_survives_restart(tmp_path):
+    journal = str(tmp_path / "jobs.jsonl")
+
+    def runner(job):
+        return 1, 5, {2: "out"}
+
+    ks = KeyService(tmp_path / "keys")
+    st = StorageService(tmp_path / "storage")
+    ex = ExecutionService(ks, st, runner, journal_path=journal)
+    ks.add_key("s", SchemaType.TFHE_BOOL, b"k")
+    fu = st.create_data_frame("s", "in", SchemaType.TFHE_BOOL, COLS, 2, 1)
+    st.append_to_data_frame("s", fu, rowcodec.frame_rows([b"a" * 8, b"b" * 8]))
+    st.mark_data_frame_as_uploaded("s", fu)
+    job = ex.schedule_job("s", _simple_plan(fu))
+    ex.wait_for_job("s", job.job_uuid, timeout=10)
+    ex.shutdown()
+
+    # restart: terminal job state is rehydrated
+    ex2 = ExecutionService(ks, st, runner, journal_path=journal)
+    j = ex2.get_job_state("s", job.job_uuid)
+    assert j.status == JobStatus.COMPLETED
+    assert j.bootstraps_executed == 5
+    assert j.output_frames == {2: "out"}
+    assert ex2.describe_job("s", job.job_uuid).plan is not None
+    ex2.shutdown()
