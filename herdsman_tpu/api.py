@@ -76,17 +76,26 @@ class HerdContext:
 
     def _gate(self, name: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """One heterogeneous-batch gate call on stacked bit ciphertexts
-        [..., n+1] (leading dims flattened into the batch)."""
+        [..., n+1] (leading dims flattened into the batch). The flat batch is
+        padded to the next power of two so eager chains reuse a handful of
+        compiled program shapes instead of recompiling per call."""
         shape = a.shape[:-1]
         width = a.shape[-1]
         flat_a = a.reshape(-1, width)
         flat_b = b.reshape(-1, width)
-        ids = jnp.full((flat_a.shape[0],), gates.GATE_IDS[name],
-                       dtype=jnp.int32)
+        n_flat = flat_a.shape[0]
+        padded = max(8, 1 << (n_flat - 1).bit_length())
+        if padded != n_flat:
+            pad = padded - n_flat
+            flat_a = jnp.concatenate(
+                [flat_a, jnp.zeros((pad, width), dtype=flat_a.dtype)], axis=0)
+            flat_b = jnp.concatenate(
+                [flat_b, jnp.zeros((pad, width), dtype=flat_b.dtype)], axis=0)
+        ids = jnp.full((padded,), gates.GATE_IDS[name], dtype=jnp.int32)
         out = gates.gate_batch(
             self.dsk, gates.GateBatch(ids, flat_a, flat_b),
             engine=self.engine,
-        )
+        )[:n_flat]
         return out.reshape(*shape, width)
 
     def _mux(self, sel, a, b):
