@@ -45,18 +45,19 @@ d8_fixed = jnp.asarray(
 
 
 def timed(name, fn, *args):
-    out = jax.block_until_ready(jax.jit(fn)(*args))
+    jfn = jax.jit(fn)
+    out = jax.block_until_ready(jfn(*args))
     ts = []
     for _ in range(3):
         t0 = time.time()
-        jax.block_until_ready(jax.jit(fn)(*args))
+        jax.block_until_ready(jfn(*args))
         ts.append(time.time() - t0)
     dt = min(ts)
     print(f"{name:28s} {dt * 1e3:8.1f} ms total  {dt / p.n * 1e6:8.1f} us/step")
     return out
 
 
-def scan_empty(acc):
+def scan_empty(acc, bsk_bt, a_t, d8):
     def step(acc, xs):
         bsk_i, a_i = xs
         return acc + jnp.uint32(bsk_i[0, 0, 0, 0].astype(jnp.uint32)), None
@@ -64,24 +65,24 @@ def scan_empty(acc):
     return out
 
 
-def scan_rot(acc):
+def scan_rot(acc, bsk_bt, a_t, d8):
     def step(acc, xs):
         _, a_i = xs
         d = rotate_decompose(p, acc, a_i)
-        return acc + d[0, :, :1].astype(jnp.uint32), None
+        return acc + d[0, :, 0].astype(jnp.uint32)[:, None, None], None
     out, _ = jax.lax.scan(step, acc, (bsk_bt, a_t))
     return out
 
 
-def scan_ep(acc):
+def scan_ep(acc, bsk_bt, a_t, d8):
     def step(acc, xs):
         bsk_i, _ = xs
-        return external_product_bt_pretiled(p, d8_fixed, bsk_i, glwe=acc), None
+        return external_product_bt_pretiled(p, d8, bsk_i, glwe=acc), None
     out, _ = jax.lax.scan(step, acc, (bsk_bt, a_t))
     return out
 
 
-def scan_full(acc):
+def scan_full(acc, bsk_bt, a_t, d8):
     def step(acc, xs):
         bsk_i, a_i = xs
         d = rotate_decompose(p, acc, a_i)
@@ -91,7 +92,7 @@ def scan_full(acc):
 
 
 print(f"params={P_NAME} B={B} n={p.n}")
-timed("empty scan (bsk stream)", scan_empty, acc0)
-timed("rotate_decompose only", scan_rot, acc0)
-timed("external product only", scan_ep, acc0)
-timed("full step", scan_full, acc0)
+timed("empty scan (bsk stream)", scan_empty, acc0, bsk_bt, a_t, d8_fixed)
+timed("rotate_decompose only", scan_rot, acc0, bsk_bt, a_t, d8_fixed)
+timed("external product only", scan_ep, acc0, bsk_bt, a_t, d8_fixed)
+timed("full step", scan_full, acc0, bsk_bt, a_t, d8_fixed)
