@@ -9,7 +9,7 @@ arithmetic and comparisons, enough to express realistic map/reduce circuits
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, Sequence
+from typing import Sequence
 
 from herdsman_tpu.circuit.model import (
     Circuit,

@@ -15,7 +15,6 @@ LSB-first (matching `circuit.model` wire numbering).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Sequence
 
 import jax

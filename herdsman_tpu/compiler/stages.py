@@ -16,7 +16,7 @@ Frames are in-memory arrays here; the durable disk-backed catalog lives in
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Callable
 
 import jax.numpy as jnp
 import numpy as np
@@ -31,7 +31,7 @@ from herdsman_tpu.circuit.plan import (
     ReduceStage,
 )
 from herdsman_tpu.compiler.lower import compile_circuit, circuit_cost
-from herdsman_tpu.compiler.reduce_tree import ReduceTree, build_reduce_tree
+from herdsman_tpu.compiler.reduce_tree import build_reduce_tree
 from herdsman_tpu.ops.server_key import DeviceServerKey
 
 

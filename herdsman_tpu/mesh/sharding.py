@@ -20,7 +20,6 @@ All collectives ride ICI via jax.shard_map + jax.lax.psum.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax
