@@ -200,24 +200,29 @@ def main() -> None:
     dsk = get_dsk(args, sk)
 
     rng = np.random.default_rng(7)
-    bits = rng.integers(0, 2, args.batch).astype(bool)
-    ct = jnp.asarray(ref.encrypt_bool(ck, bits, rng))
+    # distinct input batches per iteration: the TPU tunnel runtime can
+    # memoize repeated identical executions, which would fake the timing
+    all_bits = [rng.integers(0, 2, args.batch).astype(bool)
+                for _ in range(args.iters + 1)]
+    cts = [jnp.asarray(ref.encrypt_bool(ck, b, rng)) for b in all_bits]
+    for c in cts:
+        jax.block_until_ready(c)
 
     fn = lambda c: bs.bootstrap_bool_batch(dsk, c, engine=args.engine)
     t0 = time.time()
-    out = jax.block_until_ready(fn(ct))
+    out = jax.block_until_ready(fn(cts[0]))
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
     # correctness gate: the benched computation must decrypt correctly
     got = ref.lwe_decrypt_bool(ck, np.asarray(out))
-    n_bad = int((got != bits).sum())
+    n_bad = int((got != all_bits[0]).sum())
     if n_bad:
         log(f"WARNING: {n_bad}/{args.batch} decryption mismatches")
 
     times = []
-    for _ in range(args.iters):
+    for i in range(args.iters):
         t0 = time.time()
-        jax.block_until_ready(fn(ct))
+        jax.block_until_ready(fn(cts[i + 1]))
         times.append(time.time() - t0)
     dt = min(times)
     rate = args.batch / dt

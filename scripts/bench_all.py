@@ -54,21 +54,27 @@ def run_param_set(name, engines, batches):
 
     rng = np.random.default_rng(7)
     for B in batches:
-        bits = rng.integers(0, 2, B).astype(bool)
-        ct = jnp.asarray(ref.encrypt_bool(ck, bits, rng))
+        # distinct inputs per timed iteration (the tunnel runtime memoizes
+        # repeated identical executions)
+        bit_sets = [rng.integers(0, 2, B).astype(bool) for _ in range(4)]
+        ct_sets = [jnp.asarray(ref.encrypt_bool(ck, b, rng))
+                   for b in bit_sets]
+        for c in ct_sets:
+            jax.block_until_ready(c)
         for engine in engines:
             try:
                 fn = lambda c: bs.bootstrap_bool_batch(dsk, c, engine=engine)
                 t0 = time.time()
-                out = jax.block_until_ready(fn(ct))
+                out = jax.block_until_ready(fn(ct_sets[0]))
                 compile_s = time.time() - t0
                 ts = []
-                for _ in range(3):
+                for i in range(3):
                     t0 = time.time()
-                    jax.block_until_ready(fn(ct))
+                    jax.block_until_ready(fn(ct_sets[i + 1]))
                     ts.append(time.time() - t0)
                 dt = min(ts)
-                ok = (ref.lwe_decrypt_bool(ck, np.asarray(out)) == bits).all()
+                ok = (ref.lwe_decrypt_bool(ck, np.asarray(out))
+                      == bit_sets[0]).all()
                 sol = roofline.speed_of_light(p, B)
                 rate = B / dt
                 say(f"{name} {engine:14s} B={B:5d}: {rate:8.1f} bs/s/chip "
