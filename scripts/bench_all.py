@@ -47,7 +47,19 @@ def run_param_set(name, engines, batches):
     ck, sk = get_keys(name)
     say(f"keys: {time.time() - t0:.0f}s")
     t0 = time.time()
-    dsk = device_server_key(sk, layouts=("bsk_bt",))
+    import os
+    bt_cache = f"/tmp/herdsman_bt_{name}.npy"
+    if os.path.exists(bt_cache):
+        from herdsman_tpu.ops.server_key import DeviceServerKey, _np_i8_limbs
+        bt = np.load(bt_cache, mmap_mode="r")
+        kskl = _np_i8_limbs(sk.ksk).reshape(
+            p.kN * p.ks_levels, (p.n + 1) * 4)
+        dsk = DeviceServerKey(params=p, bsk_ext=None, bsk_conv=None,
+                              bsk_bt=jnp.asarray(bt),
+                              ksk_limbs=jnp.asarray(kskl), ksk=None)
+    else:
+        dsk = device_server_key(sk, layouts=("bsk_bt",))
+        np.save(bt_cache, np.asarray(dsk.bsk_bt))
     jax.block_until_ready(dsk.bsk_bt)
     say(f"BT prep+transfer: {time.time() - t0:.0f}s "
         f"({dsk.bsk_bt.size / 1e9:.1f} GB)")
@@ -65,16 +77,19 @@ def run_param_set(name, engines, batches):
             try:
                 fn = lambda c: bs.bootstrap_bool_batch(dsk, c, engine=engine)
                 t0 = time.time()
-                out = jax.block_until_ready(fn(ct_sets[0]))
+                out = np.asarray(fn(ct_sets[0]))  # host fetch = real barrier
                 compile_s = time.time() - t0
-                ts = []
-                for i in range(3):
-                    t0 = time.time()
-                    jax.block_until_ready(fn(ct_sets[i + 1]))
-                    ts.append(time.time() - t0)
-                dt = min(ts)
-                ok = (ref.lwe_decrypt_bool(ck, np.asarray(out))
-                      == bit_sets[0]).all()
+                # timing: K chained dependent bootstraps ending in a host
+                # fetch — immune to async/no-op block_until_ready quirks of
+                # the tunnel runtime
+                K = 8
+                t0 = time.time()
+                chained = ct_sets[1]
+                for _ in range(K):
+                    chained = fn(chained)
+                np.asarray(chained)
+                dt = (time.time() - t0) / K
+                ok = (ref.lwe_decrypt_bool(ck, out) == bit_sets[0]).all()
                 sol = roofline.speed_of_light(p, B)
                 rate = B / dt
                 say(f"{name} {engine:14s} B={B:5d}: {rate:8.1f} bs/s/chip "
@@ -112,7 +127,5 @@ def run_param_set(name, engines, batches):
 
 
 if __name__ == "__main__":
-    run_param_set("std128",
-                  ["pallas_fused", "pallas_mega"], [512, 1024])
-    run_param_set("std128_fast",
-                  ["pallas_fused", "pallas_mega"], [1024])
+    run_param_set("std128", ["pallas_fused", "pallas_bt"], [512, 1024])
+    run_param_set("std128_fast", ["pallas_fused"], [1024])
