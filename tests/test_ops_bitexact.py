@@ -202,3 +202,52 @@ def test_not_gate_device(toy_keys):
     ct = ref.encrypt_bool(ck, bits, rng)
     out = np.asarray(gates.gate_not(jnp.asarray(ct)))
     np.testing.assert_array_equal(ref.lwe_decrypt_bool(ck, out), ~bits)
+
+
+def test_pallas_bt_negated_diagonals_small():
+    """TEST_SMALL has N=256 -> HALF=2, so the kernel's m >= HALF branch
+    (negated stored diagonals) is exercised — TOY (HALF=1) never hits it."""
+    from herdsman_tpu.core import TEST_SMALL
+    from herdsman_tpu.ops.pallas.blind_rotate import external_product_bt
+
+    rng = np.random.default_rng(77)
+    ck, sk = ref.keygen(TEST_SMALL, rng)
+    dsk = device_server_key(sk, layouts=("bsk_bt",))
+    p = TEST_SMALL
+    glwe = rand_u32(rng, 3, p.k + 1, p.N)
+    from herdsman_tpu.ops.decomp import signed_decompose as sd
+
+    digits = sd(jnp.asarray(glwe), p.bg_bits, p.levels)
+    digits = jnp.moveaxis(digits, -1, 2).reshape(3, (p.k + 1) * p.levels, p.N)
+    got = np.asarray(external_product_bt(p, digits, dsk.bsk_bt[0]))
+    for b in range(3):
+        expect = ref.external_product(p, sk.bsk[0], glwe[b])
+        np.testing.assert_array_equal(got[b], expect, err_msg=f"b={b}")
+
+
+def test_rotate_decompose_kernel_matches():
+    """Fused rotate+decompose kernel vs the XLA ops (TEST_SMALL, HALF=2)."""
+    from herdsman_tpu.core import TEST_SMALL
+    from herdsman_tpu.ops.pallas.rotate_decompose import rotate_decompose
+    from herdsman_tpu.ops import poly as dpoly
+    from herdsman_tpu.ops.decomp import signed_decompose as sd
+    from herdsman_tpu.ops.server_key import bt_tile
+
+    p = TEST_SMALL
+    P, HALF = bt_tile(p)
+    rng = np.random.default_rng(78)
+    B = 4
+    acc = rand_u32(rng, B, p.k + 1, p.N)
+    a_i = rng.integers(0, 2 * p.N, B).astype(np.int32)
+
+    got = np.asarray(rotate_decompose(p, jnp.asarray(acc), jnp.asarray(a_i)))
+
+    rot = dpoly.negacyclic_monomial_mul(jnp.asarray(acc),
+                                        jnp.asarray(a_i)[:, None])
+    diff = rot - jnp.asarray(acc)
+    digits = sd(diff, p.bg_bits, p.levels)
+    R = (p.k + 1) * p.levels
+    expect = np.asarray(
+        jnp.moveaxis(digits, -1, 2).reshape(B, R * HALF, P).swapaxes(0, 1)
+    ).astype(np.int8)
+    np.testing.assert_array_equal(got, expect)
