@@ -1,0 +1,85 @@
+"""Programmable bootstrapping (functional/LUT bootstrap).
+
+Beyond boolean gates: a bootstrap whose test polynomial encodes an arbitrary
+look-up table evaluates f(m) for a small integer message m while refreshing
+noise — the building block of shortint-style arithmetic (tfhe-rs shortint,
+OpenFHE EvalFunc).
+
+Encoding: messages m in [0, 2^msg_bits) with one padding bit, i.e.
+Delta = q / 2^(msg_bits+1); the padding bit keeps the phase in the positive
+half-torus so the negacyclic constraint (v(X + N) = -v(X)) never bites.
+The LUT output uses the same encoding, so PBS outputs compose.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from herdsman_tpu.core.params import TFHEParams
+from herdsman_tpu.ops import bootstrap as bs
+from herdsman_tpu.ops.server_key import DeviceServerKey
+
+U32 = jnp.uint32
+
+
+def lut_test_poly(params: TFHEParams, table, msg_bits: int) -> jax.Array:
+    """Test polynomial for f given as `table` (length 2^msg_bits ints,
+    values in [0, 2^msg_bits)).
+
+    Phase m*Delta mod-switches to m * 2N / 2^(msg_bits+1); coefficient
+    windows of v must hold f(m)*Delta over the window centered on each m
+    (half-window shifted so rounding noise lands inside the right segment).
+    """
+    p = params
+    space = 1 << (msg_bits + 1)  # incl. padding bit
+    assert len(table) == (1 << msg_bits)
+    delta = (1 << 32) // space
+    window = 2 * p.N // space     # coefficients per message segment
+    assert window >= 1, "message space too large for N"
+    v = np.zeros(p.N, dtype=np.uint32)
+    # segment centers: phase m*Delta -> rotation index m*window; after the
+    # half-window shift the coefficient block [m*window - window/2,
+    # m*window + window/2) must equal f(m)*Delta.  Build by filling and then
+    # negacyclically rotating by +window/2.
+    for m in range(1 << msg_bits):
+        f = int(table[m]) % space
+        val = np.uint32((f * delta) & 0xFFFFFFFF)
+        start = m * window
+        for j in range(window):
+            idx = start + j
+            if idx < p.N:
+                v[idx] = val
+            # indices >= N fold negacyclically; with a padding bit the
+            # phase never reaches them, so they are irrelevant — leave 0.
+    # rotate v by X^{-window/2} so each window is centered on its segment
+    # midpoint: coefficients wrapping past index 0 negate (X^N = -1)
+    half = window // 2
+    if half:
+        v = np.concatenate([v[half:], np.uint32(0) - v[:half]])
+    return jnp.asarray(v)
+
+
+def encode(params: TFHEParams, m, msg_bits: int) -> np.ndarray:
+    delta = (1 << 32) // (1 << (msg_bits + 1))
+    return (np.asarray(m, dtype=np.uint64) * delta & 0xFFFFFFFF).astype(
+        np.uint32)
+
+
+def decode(params: TFHEParams, phase: np.ndarray, msg_bits: int) -> np.ndarray:
+    space = 1 << (msg_bits + 1)
+    delta = (1 << 32) // space
+    return ((phase.astype(np.uint64) + delta // 2) // delta % space).astype(
+        np.int64) % (1 << msg_bits)
+
+
+def pbs_batch(dsk: DeviceServerKey, ct: jax.Array, table,
+              msg_bits: int, engine: str = "conv_i8",
+              unroll: bool = False) -> jax.Array:
+    """Apply f (the LUT) under encryption with noise refresh:
+    [B, n+1] -> [B, n+1], messages in [0, 2^msg_bits)."""
+    tv = lut_test_poly(dsk.params, table, msg_bits)
+    acc = bs.blind_rotate_batch(dsk, ct, tv, engine=engine, unroll=unroll)
+    raw = bs.sample_extract_batch(dsk.params, acc)
+    return bs.key_switch_batch(dsk, raw)

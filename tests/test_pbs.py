@@ -1,0 +1,49 @@
+"""Programmable (LUT) bootstrapping tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from herdsman_tpu.core import TOY
+from herdsman_tpu.core import reference as ref
+from herdsman_tpu.ops import pbs
+from herdsman_tpu.ops.server_key import device_server_key
+
+
+@pytest.fixture(scope="module")
+def pbs_setup(toy_keys):
+    ck, sk, rng = toy_keys
+    return ck, sk, device_server_key(sk, layouts=("bsk_conv",))
+
+
+@pytest.mark.parametrize("msg_bits,table_fn", [
+    (2, lambda m: (m * m) % 4),        # squaring mod 4
+    (2, lambda m: (m + 1) % 4),        # increment
+    (3, lambda m: (7 - m) % 8),        # reversal, 3-bit
+])
+def test_pbs_lut(pbs_setup, msg_bits, table_fn):
+    ck, sk, dsk = pbs_setup
+    rng = np.random.default_rng(1000 + msg_bits)
+    table = [table_fn(m) for m in range(1 << msg_bits)]
+    msgs = rng.integers(0, 1 << msg_bits, 16)
+    mu = pbs.encode(TOY, msgs, msg_bits)
+    ct = jnp.asarray(ref.lwe_encrypt_raw(ck, mu, rng))
+    out = pbs.pbs_batch(dsk, ct, table, msg_bits)
+    phase = ref.lwe_phase(ck.lwe_key, np.asarray(out))
+    got = pbs.decode(TOY, phase, msg_bits)
+    np.testing.assert_array_equal(got, [table[int(m)] for m in msgs])
+
+
+def test_pbs_composes(pbs_setup):
+    """PBS output encoding feeds the next PBS (noise refreshed each hop)."""
+    ck, sk, dsk = pbs_setup
+    rng = np.random.default_rng(2000)
+    inc = [(m + 1) % 4 for m in range(4)]
+    msgs = np.array([0, 1, 2, 3])
+    ct = jnp.asarray(
+        ref.lwe_encrypt_raw(ck, pbs.encode(TOY, msgs, 2), rng))
+    out = pbs.pbs_batch(dsk, ct, inc, 2)
+    out = pbs.pbs_batch(dsk, out, inc, 2)
+    phase = ref.lwe_phase(ck.lwe_key, np.asarray(out))
+    got = pbs.decode(TOY, phase, 2)
+    np.testing.assert_array_equal(got, (msgs + 2) % 4)
