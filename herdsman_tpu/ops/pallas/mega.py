@@ -43,7 +43,8 @@ def _mega_kernel(a_ref, acc0_ref, bt_ref, out_ref,
 
     @pl.when(jnp.logical_and(i == 0, j == 0))
     def _():
-        acc_sc[:] = acc0_ref[:]
+        for c in range(p.k + 1):
+            acc_sc[c] = acc0_ref[:, c, :]
 
     # ---- phase 0: rotate + decompose into dig_sc ----
     @pl.when(j == 0)
@@ -54,7 +55,7 @@ def _mega_kernel(a_ref, acc0_ref, bt_ref, out_ref,
         half = Bg >> 1
         offset = sum(half << (p.bg_bits * t) for t in range(p.levels))
         for c in range(p.k + 1):
-            v = acc_sc[:, c, :]
+            v = acc_sc[c]
             rolled = v
             for bit in range(p.log2_2N):
                 s = 1 << bit
@@ -62,8 +63,11 @@ def _mega_kernel(a_ref, acc0_ref, bt_ref, out_ref,
                     _neg_shift(rolled, s, p.N) if s < p.N
                     else jnp.zeros_like(rolled) - rolled
                 )
-                take = ((r_amt >> U32(bit)) & U32(1)) != U32(0)
-                rolled = jnp.where(take[:, None], shifted, rolled)
+                # 32-bit mask select: Mosaic cannot reshape i1 vectors here
+                # ("insertion of minor dim ... only supported for 32-bit")
+                take_bit = (r_amt >> U32(bit)) & U32(1)     # [Bt] in {0,1}
+                mask = (U32(0) - take_bit)[:, None]          # 0 or 0xFFFFFFFF
+                rolled = (shifted & mask) | (rolled & ~mask)
             diff = rolled - v
             val = ((diff + U32(1 << (32 - W - 1))) >> U32(32 - W)) + U32(offset)
             for lev in range(p.levels):
@@ -102,19 +106,21 @@ def _mega_kernel(a_ref, acc0_ref, bt_ref, out_ref,
     def _():
         for ct in range(HALF):
             a = ep_sc[ct].reshape(ep_sc.shape[1], p.k + 1, 4, P).astype(U32)
-            combined = (
-                a[:, :, 0, :]
-                + (a[:, :, 1, :] << U32(8))
-                + (a[:, :, 2, :] << U32(16))
-                + (a[:, :, 3, :] << U32(24))
-            )
-            acc_sc[:, :, ct * P:(ct + 1) * P] = (
-                acc_sc[:, :, ct * P:(ct + 1) * P] + combined
-            )
+            for c in range(p.k + 1):
+                combined = (
+                    a[:, c, 0, :]
+                    + (a[:, c, 1, :] << U32(8))
+                    + (a[:, c, 2, :] << U32(16))
+                    + (a[:, c, 3, :] << U32(24))
+                )
+                acc_sc[c, :, ct * P:(ct + 1) * P] = (
+                    acc_sc[c, :, ct * P:(ct + 1) * P] + combined
+                )
 
     @pl.when(jnp.logical_and(i == pl.num_programs(1) - 1, j == R))
     def _():
-        out_ref[:] = acc_sc[:]
+        for c in range(p.k + 1):
+            out_ref[:, c, :] = acc_sc[c]
 
 
 def mega_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
@@ -148,7 +154,7 @@ def mega_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, p.k + 1, p.N), U32),
         scratch_shapes=[
-            pltpu.VMEM((Bt, p.k + 1, p.N), U32),          # acc
+            pltpu.VMEM((p.k + 1, Bt, p.N), U32),          # acc
             pltpu.VMEM((R * HALF, Bt, P), I8),            # digits
             pltpu.VMEM((HALF, Bt, C4P), I32),             # ep accumulator
         ],
