@@ -47,3 +47,19 @@ def test_pbs_composes(pbs_setup):
     phase = ref.lwe_phase(ck.lwe_key, np.asarray(out))
     got = pbs.decode(TOY, phase, 2)
     np.testing.assert_array_equal(got, (msgs + 2) % 4)
+
+
+def test_pbs_with_real_noise(small_keys):
+    """LUT bootstrap decodes correctly at TEST_SMALL's realistic noise."""
+    ck, sk, rng = small_keys
+    from herdsman_tpu.core import TEST_SMALL
+
+    dsk = device_server_key(sk, layouts=("bsk_conv",))
+    table = [(3 * m) % 4 for m in range(4)]
+    msgs = rng.integers(0, 4, 32)
+    ct = jnp.asarray(
+        ref.lwe_encrypt_raw(ck, pbs.encode(TEST_SMALL, msgs, 2), rng))
+    out = pbs.pbs_batch(dsk, ct, table, 2)
+    phase = ref.lwe_phase(ck.lwe_key, np.asarray(out))
+    got = pbs.decode(TEST_SMALL, phase, 2)
+    np.testing.assert_array_equal(got, [table[int(m)] for m in msgs])
