@@ -4,6 +4,11 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
+Default configuration: STD128_FAST (n=768, N=1024, Bg=2^8, l=2) — 128-bit
+security with an on-hardware-measured 13.9-sigma decision margin (~1e-43
+per-gate failure; docs/BENCH_LOG.md); `--params std128` selects the
+classic Bg=2^7,l=3 gadget.
+
 Baseline (BASELINE.md): the reference publishes no numbers; the north star is
 ">=10x bootstraps/sec over a 64-core CPU herd on 16 chips". Literature anchor
 for CPU TFHE gate bootstrapping (OpenFHE binfhe STD128-class) is ~25 ms/gate
@@ -172,7 +177,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--metric", default="bootstrap",
                     choices=["bootstrap", "rns", "noise"])
-    ap.add_argument("--params", default="std128")
+    ap.add_argument("--params", default="std128_fast")
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--engine", default=os.environ.get("HERDSMAN_BENCH_ENGINE",
                                                        "pallas_fused"))
