@@ -1,0 +1,137 @@
+"""Encrypted short integers over programmable bootstrapping (tfhe-rs
+"shortint" analog).
+
+Unlike `api.EncUint` (bitwise boolean circuits), an `EncShort` holds each
+small integer in ONE LWE ciphertext with the padding-bit encoding of
+`ops.pbs`: linear homomorphisms (add, scalar mul) are free LWE arithmetic,
+and any unary function — including the modular reduction that keeps sums in
+range — is one programmable bootstrap. Values are vectorized (a batch per
+object).
+
+Carry discipline: values live in a working space of `space_bits` =
+msg_bits + carry_bits; each ciphertext tracks its maximum possible plaintext
+(`max_val`). Linear ops accumulate until the space would overflow, then a
+PBS with the mod-LUT folds back. Ciphertext-by-ciphertext multiplication
+packs both operands into one phase (x * m + y) and applies the bivariate
+product LUT in a single bootstrap (requires space_bits >= 2 * msg_bits).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from herdsman_tpu.core import reference as ref
+from herdsman_tpu.core.params import TFHEParams
+from herdsman_tpu.ops import pbs
+from herdsman_tpu.ops.server_key import DeviceServerKey, device_server_key
+
+U32 = jnp.uint32
+
+
+class ShortContext:
+    def __init__(self, params: TFHEParams, msg_bits: int = 2,
+                 carry_bits: int = 2, engine: str = "conv_i8",
+                 seed: int = 0, keys=None):
+        self.params = params
+        self.msg_bits = msg_bits
+        self.carry_bits = carry_bits
+        self.space_bits = msg_bits + carry_bits  # working precision
+        # each slot needs enough blind-rotation indices to absorb the
+        # mod-switch rounding noise (~sqrt(n)/2 indices): require >= 16
+        assert 2 * params.N >= (1 << (self.space_bits + 1)) * 16, \
+            "message+carry space too large for N (need 2N >= 16*2^(space+1))"
+        self.engine = engine
+        self._rng = np.random.default_rng(seed)
+        if keys is None:
+            self.ck, self.sk = ref.keygen(params, self._rng)
+        else:
+            self.ck, self.sk = keys
+        layouts = ("bsk_bt",) if engine.startswith("pallas") else ("bsk_conv",)
+        self.dsk: DeviceServerKey = device_server_key(self.sk, layouts=layouts)
+
+    @property
+    def modulus(self) -> int:
+        return 1 << self.msg_bits
+
+    @property
+    def space(self) -> int:
+        return 1 << self.space_bits
+
+    def encrypt(self, values) -> "EncShort":
+        vals = np.atleast_1d(np.asarray(values)) % self.modulus
+        mu = pbs.encode(self.params, vals, self.space_bits)
+        ct = ref.lwe_encrypt_raw(self.ck, mu, self._rng)
+        return EncShort(self, jnp.asarray(ct), max_val=self.modulus - 1)
+
+    def decrypt(self, x: "EncShort") -> list[int]:
+        x = x.reduce() if x.max_val >= self.modulus else x
+        phase = ref.lwe_phase(self.ck.lwe_key, np.asarray(x.data))
+        vals = pbs.decode(self.params, phase, self.space_bits)
+        return [int(v) % self.modulus for v in vals]
+
+    def _pbs(self, data, table) -> jnp.ndarray:
+        return pbs.pbs_batch(self.dsk, data, table, self.space_bits,
+                             engine=self.engine)
+
+
+@dataclasses.dataclass
+class EncShort:
+    ctx: ShortContext
+    data: jnp.ndarray      # [B, n+1]
+    max_val: int           # maximum possible plaintext in the working space
+
+    def reduce(self) -> "EncShort":
+        """Fold back to [0, modulus): one PBS with the mod-LUT."""
+        ctx = self.ctx
+        table = [m % ctx.modulus for m in range(ctx.space)]
+        return EncShort(ctx, ctx._pbs(self.data, table),
+                        max_val=ctx.modulus - 1)
+
+    def _fit(self, needed_max: int) -> "EncShort":
+        """Reduce first if an upcoming op would overflow the space."""
+        return self.reduce() if needed_max >= self.ctx.space else self
+
+    def __add__(self, o: "EncShort") -> "EncShort":
+        a, b = self, o
+        if a.max_val + b.max_val >= a.ctx.space:
+            a = a.reduce()
+            if a.max_val + b.max_val >= a.ctx.space:
+                b = b.reduce()
+        return EncShort(a.ctx, a.data + b.data, a.max_val + b.max_val)
+
+    def scalar_mul(self, k: int) -> "EncShort":
+        assert k >= 0
+        if k == 0:
+            return EncShort(self.ctx, jnp.zeros_like(self.data), 0)
+        x = self
+        if x.max_val * k >= x.ctx.space:
+            x = x.reduce()
+        assert x.max_val * k < x.ctx.space, "scalar too large for the space"
+        return EncShort(x.ctx, x.data.astype(U32) * U32(k), x.max_val * k)
+
+    def apply_lut(self, fn) -> "EncShort":
+        """Evaluate an arbitrary unary function f over [0, space) (the
+        caller sees reduced values: f receives v mod modulus)."""
+        ctx = self.ctx
+        x = self if self.max_val < ctx.modulus else self.reduce()
+        table = [fn(v % ctx.modulus) % ctx.modulus for v in range(ctx.space)]
+        return EncShort(ctx, ctx._pbs(x.data, table),
+                        max_val=ctx.modulus - 1)
+
+    def __mul__(self, o: "EncShort") -> "EncShort":
+        """Ciphertext product in ONE bootstrap: pack t = x*m + y (fits the
+        carry space when space_bits >= 2*msg_bits) and apply the bivariate
+        LUT table[t] = (t>>msg) * (t & (m-1)) mod m."""
+        ctx = self.ctx
+        assert ctx.space_bits >= 2 * ctx.msg_bits, \
+            "need carry_bits >= msg_bits for packed multiplication"
+        a = self if self.max_val < ctx.modulus else self.reduce()
+        b = o if o.max_val < ctx.modulus else o.reduce()
+        m = ctx.modulus
+        packed = a.data.astype(U32) * U32(m) + b.data
+        table = [((t >> ctx.msg_bits) * (t & (m - 1))) % m
+                 for t in range(ctx.space)]
+        return EncShort(ctx, ctx._pbs(packed, table), max_val=m - 1)
