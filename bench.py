@@ -173,10 +173,59 @@ def bench_noise(args) -> None:
     }))
 
 
+def bench_shortint(args) -> None:
+    """Shortint validation at production params: (a*b)+a over encrypted
+    2-bit values (3 PBS hops) must decrypt exactly, with the slot-phase
+    margin reported."""
+    import jax.numpy as jnp
+
+    from herdsman_tpu.core import PARAM_SETS
+    from herdsman_tpu.core import reference as ref
+    from herdsman_tpu.ops import pbs as pbs_mod
+    from herdsman_tpu.shortint import ShortContext
+
+    params = PARAM_SETS[args.params]
+    ck, sk = get_keys(args.params)
+    ctx = ShortContext(params, msg_bits=2, carry_bits=2, engine=args.engine,
+                       keys=(ck, sk))
+    if args.engine.startswith("pallas"):
+        # reuse the disk BT cache through get_dsk
+        ctx.dsk = get_dsk(args, sk)
+    rng = np.random.default_rng(99)
+    B = args.batch
+    av = rng.integers(0, 4, B)
+    bv = rng.integers(0, 4, B)
+    a = ctx.encrypt(av)
+    b = ctx.encrypt(bv)
+    t0 = time.time()
+    r = (a * b) + a
+    got = np.array(ctx.decrypt(r))
+    log(f"(a*b)+a over {B} encrypted 2-bit values: {time.time() - t0:.1f}s")
+    expect = (av * bv + av) % 4
+    ok = (got == expect).all()
+    # slot margin on the final (reduced) ciphertext
+    rr = r.reduce() if r.max_val >= ctx.modulus else r
+    phase = ref.lwe_phase(ck.lwe_key, np.asarray(rr.data)).astype(np.int64)
+    delta = (1 << 32) // (1 << (ctx.space_bits + 1))
+    err = (phase - pbs_mod.encode(params, got, ctx.space_bits)
+           .astype(np.int64)) % (1 << 32)
+    err = np.where(err >= 1 << 31, err - (1 << 32), err).astype(float)
+    sigma = err.std() / (1 << 32)
+    margin = (delta / 2 / (1 << 32)) / sigma if sigma else float("inf")
+    log(f"correct={ok}; slot-phase std={sigma:.2e} q; "
+        f"margin {margin:.1f} sigma to the half-slot boundary")
+    print(json.dumps({
+        "metric": f"shortint_mul_add_margin_sigma_{args.params}",
+        "value": round(margin, 2),
+        "unit": "sigma",
+        "vs_baseline": 1.0 if ok else 0.0,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--metric", default="bootstrap",
-                    choices=["bootstrap", "rns", "noise"])
+                    choices=["bootstrap", "rns", "noise", "shortint"])
     ap.add_argument("--params", default="std128_fast")
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--engine", default=os.environ.get("HERDSMAN_BENCH_ENGINE",
@@ -190,6 +239,9 @@ def main() -> None:
         return
     if args.metric == "noise":
         bench_noise(args)
+        return
+    if args.metric == "shortint":
+        bench_shortint(args)
         return
 
     import jax

@@ -168,4 +168,26 @@ STD128_FAST = TFHEParams(
     security_bits=128,
 )
 
-PARAM_SETS = {p.name: p for p in (TOY, TEST_SMALL, STD128, STD128_FAST)}
+# Shortint-oriented production set: N = 2048 with a much smaller GLWE noise
+# (kN = 2048 at q = 2^32 is far above 128-bit even at sigma = 4) drops the
+# bootstrap output noise to ~2^-11.5 q, giving ~45-sigma margins at the
+# q/64 slot width of a (msg=2, carry=2) shortint working space.
+# Block-Toeplitz layout: ~9.7 GiB (fits v5e HBM with room for batches).
+STD128_SHORTINT = TFHEParams(
+    name="std128_shortint",
+    n=768,
+    lwe_std=float(2 ** 14),
+    N=2048,
+    k=1,
+    glwe_std=4.0,
+    bg_bits=7,
+    levels=3,
+    ks_base_bits=3,
+    ks_levels=5,
+    security_bits=128,
+)
+
+PARAM_SETS = {
+    p.name: p
+    for p in (TOY, TEST_SMALL, STD128, STD128_FAST, STD128_SHORTINT)
+}
