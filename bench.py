@@ -187,10 +187,7 @@ def bench_shortint(args) -> None:
     params = PARAM_SETS[args.params]
     ck, sk = get_keys(args.params)
     ctx = ShortContext(params, msg_bits=2, carry_bits=2, engine=args.engine,
-                       keys=(ck, sk))
-    if args.engine.startswith("pallas"):
-        # reuse the disk BT cache through get_dsk
-        ctx.dsk = get_dsk(args, sk)
+                       keys=(ck, sk), dsk=get_dsk(args, sk))
     rng = np.random.default_rng(99)
     B = args.batch
     av = rng.integers(0, 4, B)

@@ -34,7 +34,7 @@ U32 = jnp.uint32
 class ShortContext:
     def __init__(self, params: TFHEParams, msg_bits: int = 2,
                  carry_bits: int = 2, engine: str = "conv_i8",
-                 seed: int = 0, keys=None):
+                 seed: int = 0, keys=None, dsk=None):
         self.params = params
         self.msg_bits = msg_bits
         self.carry_bits = carry_bits
@@ -49,8 +49,12 @@ class ShortContext:
             self.ck, self.sk = ref.keygen(params, self._rng)
         else:
             self.ck, self.sk = keys
-        layouts = ("bsk_bt",) if engine.startswith("pallas") else ("bsk_conv",)
-        self.dsk: DeviceServerKey = device_server_key(self.sk, layouts=layouts)
+        if dsk is not None:
+            self.dsk: DeviceServerKey = dsk
+        else:
+            layouts = ("bsk_bt",) if engine.startswith("pallas") \
+                else ("bsk_conv",)
+            self.dsk = device_server_key(self.sk, layouts=layouts)
 
     @property
     def modulus(self) -> int:
