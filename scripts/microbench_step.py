@@ -1,5 +1,9 @@
 """Microbenchmark: per-step cost breakdown of the fused blind-rotation path.
 
+NOTE: per-step timings from this script are UNRELIABLE through the axon
+tunnel (repeat executions do not block; see docs/ROADMAP.md "Known quirks").
+End-to-end numbers come from bench.py (chained-fetch timing).
+
 Times, over n-step scans on the real TPU:
   (a) rotate+decompose kernel alone
   (b) external-product kernel alone
