@@ -15,6 +15,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from herdsman_tpu.ops import bootstrap as bs
 from herdsman_tpu.ops.server_key import DeviceServerKey
@@ -36,10 +37,15 @@ GATE_COEFFS: dict[str, tuple[int, int, int]] = {
 }
 
 GATE_IDS: dict[str, int] = {g: i for i, g in enumerate(GATE_COEFFS)}
-_COEFF_TABLE = jnp.asarray(
+
+# numpy (not jnp) at module level: a device array here would force jax
+# backend initialization at import time, which breaks processes that import
+# the service layer before the TPU plugin is ready. Converted (and
+# constant-folded) inside the jitted callers.
+_COEFF_NP = np.array(
     [[w1 & 0xFFFFFFFF, w2 & 0xFFFFFFFF, b & 0xFFFFFFFF]
      for (w1, w2, b) in GATE_COEFFS.values()],
-    dtype=U32,
+    dtype=np.uint32,
 )
 
 
@@ -54,7 +60,7 @@ class GateBatch(NamedTuple):
 def gate_linear(p_n: int, gate_ids: jax.Array, c1: jax.Array,
                 c2: jax.Array) -> jax.Array:
     """Per-element (w1*c1 + w2*c2 + bias_on_body): [B, n+1] u32."""
-    coeffs = _COEFF_TABLE[gate_ids]  # [B, 3] u32
+    coeffs = jnp.asarray(_COEFF_NP)[gate_ids]  # [B, 3] u32
     w1 = coeffs[:, 0:1]
     w2 = coeffs[:, 1:2]
     bias = coeffs[:, 2]

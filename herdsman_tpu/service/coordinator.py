@@ -55,6 +55,12 @@ class Coordinator:
         self.config = config
         level = getattr(logging, config.logging.level.upper(), logging.INFO)
         logging.basicConfig(level=level)
+        # Initialize the jax backend on the MAIN thread: some PJRT plugins
+        # (the axon TPU tunnel) fail to register when first touched from a
+        # worker thread, and jobs run on the executor thread.
+        import jax
+
+        jax.devices()
         self.auth = AuthService(config.security.secret_key,
                                 config.security.token_lifetime)
         self.sessions = SessionService()
