@@ -132,6 +132,12 @@ class EncBit:
         sel = jnp.broadcast_to(self.data[:, None, :], a.data.shape)
         return EncUint(self.ctx, self.ctx._mux(sel, a.data, b.data), a.width)
 
+    def mux_bit(self, a: "EncBit", b: "EncBit") -> "EncBit":
+        """self ? a : b on single bits."""
+        out = self.ctx._mux(self.data[:, None, :], a.data[:, None, :],
+                            b.data[:, None, :])
+        return EncBit(self.ctx, out[:, 0, :])
+
 
 @dataclasses.dataclass
 class EncUint:
@@ -232,3 +238,160 @@ class EncUint:
 
     def max(self, o: "EncUint") -> "EncUint":
         return self.lt(o).mux(o, self)
+
+    # ---- comparisons (derived) ----
+
+    def ne(self, o: "EncUint") -> EncBit:
+        return ~self.eq(o)
+
+    def le(self, o: "EncUint") -> EncBit:
+        return ~o.lt(self)
+
+    def gt(self, o: "EncUint") -> EncBit:
+        return o.lt(self)
+
+    def ge(self, o: "EncUint") -> EncBit:
+        return ~self.lt(o)
+
+    def lt_signed(self, o: "EncUint") -> EncBit:
+        """Two's-complement less-than: if the sign bits differ the negative
+        operand is smaller, else compare as unsigned."""
+        ctx = self.ctx
+        sa = EncBit(ctx, self._bit(self.width - 1))
+        sb = EncBit(ctx, o._bit(self.width - 1))
+        return (sa ^ sb).mux_bit(sa, self.lt(o))
+
+    def le_signed(self, o: "EncUint") -> EncBit:
+        return ~o.lt_signed(self)
+
+    def gt_signed(self, o: "EncUint") -> EncBit:
+        return o.lt_signed(self)
+
+    def ge_signed(self, o: "EncUint") -> EncBit:
+        return ~self.lt_signed(o)
+
+    # ---- shifts / rotations ----
+
+    def _const_bits(self, count: int, value: bool = False) -> jnp.ndarray:
+        ctx = self.ctx
+        if count == 0:
+            return self.data[:, :0, :]
+        return jnp.stack(
+            [ctx._const_bit(self.batch, value)] * count, axis=1
+        )
+
+    def __lshift__(self, k: int) -> "EncUint":
+        """Shift left by a cleartext constant (free: wire relabeling)."""
+        assert 0 <= k
+        k = min(k, self.width)
+        data = jnp.concatenate(
+            [self._const_bits(k), self.data[:, : self.width - k, :]], axis=1
+        )
+        return EncUint(self.ctx, data, self.width)
+
+    def __rshift__(self, k: int) -> "EncUint":
+        """Logical right shift by a cleartext constant."""
+        assert 0 <= k
+        k = min(k, self.width)
+        data = jnp.concatenate(
+            [self.data[:, k:, :], self._const_bits(k)], axis=1
+        )
+        return EncUint(self.ctx, data, self.width)
+
+    def shift_right_arith(self, k: int) -> "EncUint":
+        assert 0 <= k
+        k = min(k, self.width)
+        sign = self.data[:, self.width - 1: self.width, :]
+        pad = jnp.broadcast_to(
+            sign, (self.batch, k, self.data.shape[-1])
+        )
+        data = jnp.concatenate([self.data[:, k:, :], pad], axis=1)
+        return EncUint(self.ctx, data, self.width)
+
+    def rotl(self, k: int) -> "EncUint":
+        k %= self.width
+        if not k:
+            return self
+        data = jnp.concatenate(
+            [self.data[:, -k:, :], self.data[:, :-k, :]], axis=1
+        )
+        return EncUint(self.ctx, data, self.width)
+
+    def rotr(self, k: int) -> "EncUint":
+        return self.rotl(self.width - (k % self.width))
+
+    def shift_left_enc(self, amount: "EncUint") -> "EncUint":
+        """Shift left by an ENCRYPTED amount (barrel shifter; amounts >=
+        width yield 0)."""
+        cur = self
+        zero = EncUint(self.ctx, self._const_bits(self.width), self.width)
+        for j in range(amount.width):
+            sel = EncBit(self.ctx, amount._bit(j))
+            shifted = zero if (1 << j) >= self.width else cur << (1 << j)
+            cur = sel.mux(shifted, cur)
+        return cur
+
+    def shift_right_enc(self, amount: "EncUint") -> "EncUint":
+        """Logical right shift by an ENCRYPTED amount (barrel shifter)."""
+        cur = self
+        zero = EncUint(self.ctx, self._const_bits(self.width), self.width)
+        for j in range(amount.width):
+            sel = EncBit(self.ctx, amount._bit(j))
+            shifted = zero if (1 << j) >= self.width else cur >> (1 << j)
+            cur = sel.mux(shifted, cur)
+        return cur
+
+    # ---- arithmetic extensions ----
+
+    def neg(self) -> "EncUint":
+        zero = EncUint(self.ctx, self._const_bits(self.width), self.width)
+        return zero - self
+
+    def abs_signed(self) -> "EncUint":
+        sign = EncBit(self.ctx, self._bit(self.width - 1))
+        return sign.mux(self.neg(), self)
+
+    def divmod(self, o: "EncUint") -> tuple["EncUint", "EncUint"]:
+        """Unsigned restoring division -> (quotient, remainder).
+
+        Division by zero yields quotient 2^width - 1 and remainder = self
+        (the natural output of the restoring array under FHE, matching the
+        tfhe-rs convention)."""
+        ctx = self.ctx
+        w = self.width
+        zero_bit = ctx._const_bit(self.batch, False)
+        rem = [zero_bit] * w                       # LSB-first
+        qbits: list = [None] * w
+
+        def g(name, x, y):
+            return ctx._gate(name, x[:, None, :], y[:, None, :])[:, 0, :]
+
+        for i in range(w - 1, -1, -1):
+            trial = [self._bit(i)] + rem           # width w+1
+            borrow = zero_bit
+            diff = []
+            for j in range(w + 1):
+                x = trial[j]
+                y = o._bit(j) if j < w else zero_bit
+                diff.append(g("XOR", g("XOR", x, y), borrow))
+                nx = gates.gate_not(x)
+                borrow = g("OR", g("AND", nx, g("OR", y, borrow)),
+                           g("AND", y, borrow))
+            ge = gates.gate_not(borrow)            # trial >= divisor
+            qbits[i] = ge
+            sel = jnp.broadcast_to(
+                ge[:, None, :], (self.batch, w, self.data.shape[-1])
+            )
+            new_rem = ctx._mux(sel, jnp.stack(diff[:w], axis=1),
+                               jnp.stack(trial[:w], axis=1))
+            rem = [new_rem[:, j, :] for j in range(w)]
+        return (
+            EncUint(ctx, jnp.stack(qbits, axis=1), w),
+            EncUint(ctx, jnp.stack(rem, axis=1), w),
+        )
+
+    def __floordiv__(self, o: "EncUint") -> "EncUint":
+        return self.divmod(o)[0]
+
+    def __mod__(self, o: "EncUint") -> "EncUint":
+        return self.divmod(o)[1]

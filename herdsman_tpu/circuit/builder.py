@@ -106,6 +106,66 @@ class Word:
             carry = (x & ny) | (s & carry)
         return Word(tuple(out))
 
+    def __lshift__(self, k: int) -> "Word":
+        """Shift left by a constant, truncated to width (zeros shift in)."""
+        assert 0 <= k
+        b = self.builder
+        w = len(self)
+        k = min(k, w)
+        return Word(tuple([b.const(False)] * k + list(self.bits[: w - k])))
+
+    def __rshift__(self, k: int) -> "Word":
+        """Logical right shift by a constant (zeros shift in)."""
+        assert 0 <= k
+        b = self.builder
+        w = len(self)
+        k = min(k, w)
+        return Word(tuple(list(self.bits[k:]) + [b.const(False)] * k))
+
+    def shift_right_arith(self, k: int) -> "Word":
+        """Arithmetic right shift by a constant (sign bit shifts in)."""
+        assert 0 <= k
+        w = len(self)
+        k = min(k, w)
+        sign = self.bits[-1]
+        return Word(tuple(list(self.bits[k:]) + [sign] * k))
+
+    def rotl(self, k: int) -> "Word":
+        k %= len(self)
+        return Word(self.bits[-k:] + self.bits[:-k]) if k else self
+
+    def rotr(self, k: int) -> "Word":
+        k %= len(self)
+        return Word(self.bits[k:] + self.bits[:k]) if k else self
+
+    def shift_left_enc(self, amount: "Word") -> "Word":
+        """Shift left by an ENCRYPTED amount (barrel shifter: one mux layer
+        per amount bit; amounts >= width yield 0)."""
+        b = self.builder
+        w = len(self)
+        cur = self
+        for j, sel in enumerate(amount.bits):
+            if (1 << j) >= w:
+                # any set high amount bit zeroes the result
+                zero = Word(tuple([b.const(False)] * w))
+                cur = zero.mux(sel, cur)
+            else:
+                cur = (cur << (1 << j)).mux(sel, cur)
+        return cur
+
+    def shift_right_enc(self, amount: "Word") -> "Word":
+        """Logical right shift by an ENCRYPTED amount (barrel shifter)."""
+        b = self.builder
+        w = len(self)
+        cur = self
+        for j, sel in enumerate(amount.bits):
+            if (1 << j) >= w:
+                zero = Word(tuple([b.const(False)] * w))
+                cur = zero.mux(sel, cur)
+            else:
+                cur = (cur >> (1 << j)).mux(sel, cur)
+        return cur
+
     def eq(self, o: "Word") -> Wire:
         assert len(self) == len(o)
         acc = self.bits[0].xnor(o.bits[0])
@@ -127,6 +187,76 @@ class Word:
                 lt = lt | (eq_so_far & bit_lt)
                 eq_so_far = eq_so_far & x.xnor(y)
         return lt
+
+    def ne(self, o: "Word") -> Wire:
+        return ~self.eq(o)
+
+    def le(self, o: "Word") -> Wire:
+        return ~o.lt(self)
+
+    def gt(self, o: "Word") -> Wire:
+        return o.lt(self)
+
+    def ge(self, o: "Word") -> Wire:
+        return ~self.lt(o)
+
+    def lt_signed(self, o: "Word") -> Wire:
+        """Two's-complement less-than: if signs differ, the negative one is
+        smaller; otherwise compare as unsigned."""
+        sa, sb = self.bits[-1], o.bits[-1]
+        return (sa ^ sb).mux(sa, self.lt(o))
+
+    def le_signed(self, o: "Word") -> Wire:
+        return ~o.lt_signed(self)
+
+    def gt_signed(self, o: "Word") -> Wire:
+        return o.lt_signed(self)
+
+    def ge_signed(self, o: "Word") -> Wire:
+        return ~self.lt_signed(o)
+
+    def neg(self) -> "Word":
+        """Two's-complement negation: ~x + 1."""
+        b = self.builder
+        zero = Word(tuple([b.const(False)] * len(self)))
+        return zero - self
+
+    def abs_signed(self) -> "Word":
+        sign = self.bits[-1]
+        return self.neg().mux(sign, self)
+
+    def divmod(self, o: "Word") -> tuple["Word", "Word"]:
+        """Unsigned restoring division: returns (quotient, remainder).
+
+        Division by zero follows the tfhe-rs convention the hardware
+        algorithm produces naturally: quotient = 2^width - 1, remainder =
+        dividend (no data-dependent branching exists under FHE)."""
+        assert len(self) == len(o)
+        b = self.builder
+        w = len(self)
+        zero = b.const(False)
+        rem: list[Wire] = [zero] * w          # remainder, LSB-first
+        qbits: list[Wire | None] = [None] * w
+        for i in range(w - 1, -1, -1):
+            trial = [self.bits[i]] + rem      # (rem << 1) | a_i, width w+1
+            borrow = zero
+            diff: list[Wire] = []
+            for j in range(w + 1):
+                x = trial[j]
+                y = o.bits[j] if j < w else zero
+                diff.append(x ^ y ^ borrow)
+                borrow = ((~x) & (y | borrow)) | (y & borrow)
+            ge = ~borrow                      # trial >= divisor
+            qbits[i] = ge
+            # both branches fit in w bits (rem < divisor <= 2^w - 1)
+            rem = [ge.mux(d, t) for d, t in zip(diff[:w], trial[:w])]
+        return Word(tuple(qbits)), Word(tuple(rem))
+
+    def __floordiv__(self, o: "Word") -> "Word":
+        return self.divmod(o)[0]
+
+    def __mod__(self, o: "Word") -> "Word":
+        return self.divmod(o)[1]
 
     def mux(self, sel: Wire, other: "Word") -> "Word":
         """sel ? self : other, bitwise."""

@@ -3,3 +3,4 @@ from herdsman_tpu.compiler.lower import (  # noqa: F401
     evaluate_plain,
     levelize,
 )
+from herdsman_tpu.compiler.optimizer import optimize_circuit  # noqa: F401

@@ -31,6 +31,7 @@ from herdsman_tpu.circuit.plan import (
     ReduceStage,
 )
 from herdsman_tpu.compiler.lower import compile_circuit, circuit_cost
+from herdsman_tpu.compiler.optimizer import optimize_circuit
 from herdsman_tpu.compiler.reduce_tree import build_reduce_tree
 from herdsman_tpu.ops.server_key import DeviceServerKey
 
@@ -86,16 +87,21 @@ def _check_circuit_inputs(circuit: Circuit, columns: tuple[ColumnMeta, ...],
 class PlanCompiler:
     """Compiles and executes ExecutionPlans against a device server key."""
 
-    def __init__(self, dsk: DeviceServerKey, engine: str = "conv_i8"):
+    def __init__(self, dsk: DeviceServerKey, engine: str = "conv_i8",
+                 optimize: bool = True):
         self.dsk = dsk
         self.engine = engine
-        self._circuit_cache: dict[int, Callable] = {}
+        self.optimize = optimize
+        # id(circuit) -> (jitted fn, circuit actually compiled)
+        self._circuit_cache: dict[int, tuple[Callable, Circuit]] = {}
 
-    def _compiled(self, circuit: Circuit):
+    def _compiled(self, circuit: Circuit) -> tuple[Callable, Circuit]:
         key = id(circuit)
         if key not in self._circuit_cache:
-            self._circuit_cache[key] = compile_circuit(
-                circuit, self.dsk, engine=self.engine
+            lowered = optimize_circuit(circuit) if self.optimize else circuit
+            self._circuit_cache[key] = (
+                compile_circuit(lowered, self.dsk, engine=self.engine),
+                lowered,
             )
         return self._circuit_cache[key]
 
@@ -103,9 +109,9 @@ class PlanCompiler:
 
     def run_mapper(self, stage: MapperStage, parent: FrameData) -> StageResult:
         _check_circuit_inputs(stage.circuit, parent.columns)
-        fn = self._compiled(stage.circuit)
+        fn, lowered = self._compiled(stage.circuit)
         out = np.asarray(fn(jnp.asarray(parent.data)))
-        cost = circuit_cost(stage.circuit)
+        cost = circuit_cost(lowered)  # bootstraps actually executed
         frame = FrameData(stage.circuit.output, out, parent.partitions)
         return StageResult(
             frame,
@@ -115,8 +121,8 @@ class PlanCompiler:
 
     def run_reduce(self, stage: ReduceStage, parent: FrameData) -> StageResult:
         _check_circuit_inputs(stage.circuit, parent.columns, doubled=True)
-        fn = self._compiled(stage.circuit)
-        cost = circuit_cost(stage.circuit)
+        fn, lowered = self._compiled(stage.circuit)
+        cost = circuit_cost(lowered)  # bootstraps actually executed
         n_combines = 0
 
         def combine(a: np.ndarray, b: np.ndarray) -> np.ndarray:

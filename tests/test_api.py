@@ -52,3 +52,57 @@ def test_multiply(ctx):
     a = ctx.encrypt([3, 7, 15], width=4)
     b = ctx.encrypt([5, 3, 15], width=4)
     assert ctx.decrypt(a * b) == [(3 * 5) % 16, (7 * 3) % 16, (15 * 15) % 16]
+
+
+def test_shifts_and_rotations(ctx):
+    a = ctx.encrypt([0b1011, 0b0110, 0b1111], width=4)
+    assert ctx.decrypt(a << 1) == [0b0110, 0b1100, 0b1110]
+    assert ctx.decrypt(a >> 2) == [0b0010, 0b0001, 0b0011]
+    assert ctx.decrypt(a.shift_right_arith(1)) == [0b1101, 0b0011, 0b1111]
+    assert ctx.decrypt(a.rotl(1)) == [0b0111, 0b1100, 0b1111]
+    assert ctx.decrypt(a.rotr(1)) == [0b1101, 0b0011, 0b1111]
+    assert ctx.decrypt(a << 0) == [0b1011, 0b0110, 0b1111]
+    assert ctx.decrypt(a << 9) == [0, 0, 0]
+
+
+def test_encrypted_amount_shifts(ctx):
+    a = ctx.encrypt([0b1011, 0b0110, 0b1111, 0b0001], width=4)
+    k = ctx.encrypt([1, 2, 4, 0], width=4)
+    assert ctx.decrypt(a.shift_left_enc(k)) == [0b0110, 0b1000, 0, 0b0001]
+    assert ctx.decrypt(a.shift_right_enc(k)) == [0b0101, 0b0001, 0, 0b0001]
+
+
+def test_derived_comparisons(ctx):
+    a = ctx.encrypt([3, 200, 17], width=8)
+    b = ctx.encrypt([5, 100, 17], width=8)
+    assert ctx.decrypt(a.ne(b)) == [True, True, False]
+    assert ctx.decrypt(a.le(b)) == [True, False, True]
+    assert ctx.decrypt(a.gt(b)) == [False, True, False]
+    assert ctx.decrypt(a.ge(b)) == [False, True, True]
+
+
+def test_signed_comparisons(ctx):
+    # 8-bit two's complement: -3 = 253, -100 = 156
+    a = ctx.encrypt([253, 5, 156], width=8)     # -3, 5, -100
+    b = ctx.encrypt([5, 253, 156], width=8)     # 5, -3, -100
+    assert ctx.decrypt(a.lt_signed(b)) == [True, False, False]
+    assert ctx.decrypt(a.gt_signed(b)) == [False, True, False]
+    assert ctx.decrypt(a.le_signed(b)) == [True, False, True]
+    assert ctx.decrypt(a.ge_signed(b)) == [False, True, True]
+
+
+def test_neg_abs(ctx):
+    a = ctx.encrypt([0, 3, 253], width=8)       # 0, 3, -3
+    assert ctx.decrypt(a.neg()) == [0, 253, 3]
+    assert ctx.decrypt(a.abs_signed()) == [0, 3, 3]
+
+
+def test_divmod(ctx):
+    a = ctx.encrypt([13, 15, 7, 9], width=4)
+    b = ctx.encrypt([3, 4, 9, 0], width=4)
+    q, r = a.divmod(b)
+    # div-by-zero convention: q = 2^w - 1, r = dividend
+    assert ctx.decrypt(q) == [4, 3, 0, 15]
+    assert ctx.decrypt(r) == [1, 3, 7, 9]
+    assert ctx.decrypt(a // b) == [4, 3, 0, 15]
+    assert ctx.decrypt(a % b) == [1, 3, 7, 9]
