@@ -4,3 +4,7 @@ from herdsman_tpu.mesh.sharding import (  # noqa: F401
     bootstrap_bool_sharded,
     gate_step_sharded,
 )
+from herdsman_tpu.mesh.distributed import (  # noqa: F401
+    init_multihost,
+    make_pod_mesh,
+)

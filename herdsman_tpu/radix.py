@@ -1,0 +1,393 @@
+"""Radix-encrypted integers over shortint blocks — the tfhe-rs "integer"
+layer analog.
+
+An `EncRadix` holds a W-bit unsigned integer as `n_blocks` shortint blocks
+(LSB-first), each carrying `msg_bits` bits of message plus `carry_bits` of
+headroom (`herdsman_tpu.shortint`). Linear ops (add, complement, scalar
+digit mul) are free LWE arithmetic on every block at once; carries are
+repaid lazily — only when a subsequent op would overflow the working space —
+by a *carry propagation* pass costing 2 programmable bootstraps per block
+(message LUT + carry LUT).
+
+TPU shape: the batch axis is the throughput axis, and every PBS layer that
+shares a LUT across blocks is STACKED into one batched bootstrap call
+(partial products of a multiply: all nb^2 pairs in one blind rotation;
+per-block compare LUTs of lt/eq likewise), so a radix multiply over a batch
+of B integers costs the same number of device programs as over one.
+
+Unlike `api.EncUint` (one LWE per *bit*, boolean gates), radix arithmetic
+does digit arithmetic with LUT bootstraps: an 8-bit add is 1 free add + one
+2-PBS-per-block propagation (8 bootstraps at msg=2) versus ~34 gate
+bootstraps for the boolean ripple adder.
+
+The reference has no integer layer at all (its workers evaluate boolean
+circuits only, SURVEY.md §2.4 Circuit); this module exists for parity with
+the tfhe-rs ecosystem the HERD clients come from.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from herdsman_tpu.shortint import EncShort, ShortContext
+
+U32 = jnp.uint32
+
+# three-way compare states
+_LT, _EQ, _GT = 0, 1, 2
+
+
+class RadixContext:
+    """Factory/codec for radix integers over a ShortContext."""
+
+    def __init__(self, short: ShortContext, n_blocks: int):
+        assert short.space_bits >= 2 * short.msg_bits, \
+            "radix ops need carry_bits >= msg_bits (packed bivariate LUTs)"
+        self.short = short
+        self.n_blocks = n_blocks
+
+    @property
+    def width(self) -> int:
+        return self.n_blocks * self.short.msg_bits
+
+    @property
+    def modulus(self) -> int:
+        return 1 << self.width
+
+    def encrypt(self, values) -> "EncRadix":
+        vals = np.atleast_1d(np.asarray(values, dtype=np.int64))
+        vals = vals % self.modulus
+        m_bits = self.short.msg_bits
+        blocks = []
+        for i in range(self.n_blocks):
+            digit = (vals >> (i * m_bits)) & (self.short.modulus - 1)
+            blocks.append(self.short.encrypt(digit))
+        return EncRadix(self, blocks)
+
+    def decrypt(self, x: "EncRadix") -> list[int]:
+        x = x.propagate()
+        m_bits = self.short.msg_bits
+        out = None
+        for i, blk in enumerate(x.blocks):
+            digits = np.asarray(self.short.decrypt(blk), dtype=np.int64)
+            out = digits << (i * m_bits) if out is None else \
+                out | (digits << (i * m_bits))
+        return [int(v) for v in out]
+
+    def decrypt_flag(self, flag: EncShort) -> list[bool]:
+        return [bool(v) for v in self.short.decrypt(flag)]
+
+    # ---- batched-PBS plumbing ----
+
+    def _pbs_stack(self, datas: list[jnp.ndarray], table) -> list[jnp.ndarray]:
+        """ONE batched bootstrap over a stack of [B, n+1] ciphertext groups
+        sharing a LUT; returns the per-group results."""
+        if not datas:
+            return []
+        sizes = [d.shape[0] for d in datas]
+        out = self.short._pbs(jnp.concatenate(datas, axis=0), table)
+        res, off = [], 0
+        for s in sizes:
+            res.append(out[off: off + s])
+            off += s
+        return res
+
+    def _split(self, data: jnp.ndarray, max_val: int
+               ) -> tuple[EncShort, EncShort]:
+        """(low digit, carry) of a working-space value: 2 PBS."""
+        s = self.short
+        lo_t = [t % s.modulus for t in range(s.space)]
+        hi_t = [t >> s.msg_bits for t in range(s.space)]
+        lo, hi = (s._pbs(data, lo_t), s._pbs(data, hi_t))
+        return (EncShort(s, lo, s.modulus - 1),
+                EncShort(s, hi, max_val >> s.msg_bits))
+
+
+@dataclasses.dataclass
+class EncRadix:
+    ctx: RadixContext
+    blocks: list[EncShort]  # LSB-first; invariant: max_val < space
+
+    @property
+    def batch(self) -> int:
+        return self.blocks[0].data.shape[0]
+
+    def _needs_prop(self) -> bool:
+        return any(b.max_val >= self.ctx.short.modulus for b in self.blocks)
+
+    def propagate(self) -> "EncRadix":
+        """Repay all carries: every block back to max_val < modulus.
+        Sequential in blocks (carries ripple), batched over the vector.
+        A block already saturating the space is split BEFORE the incoming
+        carry lands so the working space never overflows."""
+        ctx = self.ctx
+        s = ctx.short
+        if not self._needs_prop():
+            return self
+        out: list[EncShort] = []
+        carry: EncShort | None = None
+        for blk in self.blocks:
+            data, maxv = blk.data, blk.max_val
+            cmax = carry.max_val if carry is not None else 0
+            extra: EncShort | None = None
+            if maxv + cmax >= s.space:
+                low, extra = ctx._split(data, maxv)
+                data, maxv = low.data, low.max_val
+            if carry is not None:
+                data = data + carry.data
+                maxv += cmax
+            assert maxv < s.space
+            if maxv < s.modulus:
+                out.append(EncShort(s, data, maxv))
+                carry = extra
+            else:
+                low2, c2 = ctx._split(data, maxv)
+                out.append(low2)
+                carry = c2 if extra is None else EncShort(
+                    s, extra.data + c2.data, extra.max_val + c2.max_val
+                )
+        return EncRadix(ctx, out)
+
+    # ---- linear ops ----
+
+    def __add__(self, o: "EncRadix") -> "EncRadix":
+        ctx = self.ctx
+        s = ctx.short
+        a, b = self, o
+        if any(x.max_val + y.max_val >= s.space
+               for x, y in zip(a.blocks, b.blocks)):
+            a = a.propagate()
+            if any(x.max_val + y.max_val >= s.space
+                   for x, y in zip(a.blocks, b.blocks)):
+                b = b.propagate()
+        blocks = [EncShort(s, x.data + y.data, x.max_val + y.max_val)
+                  for x, y in zip(a.blocks, b.blocks)]
+        return EncRadix(ctx, blocks)
+
+    def scalar_add(self, k: int) -> "EncRadix":
+        from herdsman_tpu.ops import pbs as pbs_mod
+        ctx = self.ctx
+        s = ctx.short
+        k %= ctx.modulus
+        x = self
+        digs = [(k >> (i * s.msg_bits)) & (s.modulus - 1)
+                for i in range(ctx.n_blocks)]
+        if any(b.max_val + d >= s.space for b, d in zip(x.blocks, digs)):
+            x = x.propagate()
+        blocks = []
+        for blk, d in zip(x.blocks, digs):
+            mu = int(pbs_mod.encode(s.params, d, s.space_bits))
+            data = blk.data.at[:, s.params.n].add(U32(mu)) if d else blk.data
+            blocks.append(EncShort(s, data, blk.max_val + d))
+        return EncRadix(ctx, blocks)
+
+    def __neg__(self) -> "EncRadix":
+        """Two's complement: blockwise (m-1) - b (free), then +1."""
+        from herdsman_tpu.ops import pbs as pbs_mod
+        ctx = self.ctx
+        s = ctx.short
+        x = self.propagate()
+        mu = int(pbs_mod.encode(s.params, s.modulus - 1, s.space_bits))
+        comp = []
+        for blk in x.blocks:
+            const = jnp.zeros_like(blk.data).at[:, s.params.n].set(U32(mu))
+            comp.append(EncShort(s, const - blk.data, s.modulus - 1))
+        return EncRadix(ctx, comp).scalar_add(1)
+
+    def __sub__(self, o: "EncRadix") -> "EncRadix":
+        return self + (-o)
+
+    def shift_blocks_left(self, k: int) -> "EncRadix":
+        """Shift by whole digits (k * msg_bits bits) — free."""
+        ctx = self.ctx
+        s = ctx.short
+        if k == 0:
+            return self
+        zero = EncShort(s, jnp.zeros_like(self.blocks[0].data), 0)
+        blocks = [zero] * min(k, ctx.n_blocks) + \
+            self.blocks[: max(ctx.n_blocks - k, 0)]
+        return EncRadix(ctx, blocks)
+
+    def shift_blocks_right(self, k: int) -> "EncRadix":
+        x = self.propagate()  # high bits must not leak down via carries
+        ctx = self.ctx
+        s = ctx.short
+        if k == 0:
+            return x
+        zero = EncShort(s, jnp.zeros_like(x.blocks[0].data), 0)
+        blocks = x.blocks[min(k, ctx.n_blocks):] + \
+            [zero] * min(k, ctx.n_blocks)
+        return EncRadix(ctx, blocks)
+
+    # ---- multiplication ----
+
+    def _digit_products(self, o: "EncRadix") -> list[list[EncShort]]:
+        """All nb^2 packed digit products (low and high halves) gathered per
+        output column — the low/high LUT layers each run as ONE batched
+        bootstrap."""
+        ctx = self.ctx
+        s = ctx.short
+        m = s.modulus
+        a, b = self.propagate(), o.propagate()
+        lo_t = [((t >> s.msg_bits) * (t & (m - 1))) % m for t in range(s.space)]
+        hi_t = [((t >> s.msg_bits) * (t & (m - 1))) // m for t in range(s.space)]
+        packed, lo_dst, hi_dst = [], [], []
+        for i in range(ctx.n_blocks):
+            for j in range(ctx.n_blocks - i):
+                packed.append(a.blocks[i].data * U32(m) + b.blocks[j].data)
+                lo_dst.append(i + j)
+                hi_dst.append(i + j + 1)
+        cols: list[list[EncShort]] = [[] for _ in range(ctx.n_blocks)]
+        for dst, lo in zip(lo_dst, ctx._pbs_stack(packed, lo_t)):
+            cols[dst].append(EncShort(s, lo, m - 1))
+        hi_packed = [p for p, d in zip(packed, hi_dst) if d < ctx.n_blocks]
+        hi_keep = [d for d in hi_dst if d < ctx.n_blocks]
+        for dst, hi in zip(hi_keep, ctx._pbs_stack(hi_packed, hi_t)):
+            cols[dst].append(EncShort(s, hi, m - 2))  # (m-1)^2 // m
+        return cols
+
+    def _accumulate_columns(self, cols: list[list[EncShort]]) -> "EncRadix":
+        """Column-sum with carry splitting whenever the space would
+        overflow; carries feed the next column."""
+        ctx = self.ctx
+        s = ctx.short
+        blocks: list[EncShort] = []
+        carry_terms: list[list[EncShort]] = [[] for _ in range(ctx.n_blocks + 1)]
+        for j in range(ctx.n_blocks):
+            terms = cols[j] + carry_terms[j]
+            acc_data = jnp.zeros_like(self.blocks[0].data)
+            acc_max = 0
+            for t in terms:
+                if acc_max + t.max_val >= s.space:
+                    low, c = ctx._split(acc_data, acc_max)
+                    carry_terms[j + 1].append(c)
+                    acc_data, acc_max = low.data, low.max_val
+                acc_data = acc_data + t.data
+                acc_max += t.max_val
+            blocks.append(EncShort(s, acc_data, acc_max))
+        return EncRadix(ctx, blocks)
+
+    def __mul__(self, o: "EncRadix") -> "EncRadix":
+        """Schoolbook digit multiply, mod 2^width: one batched low-LUT
+        bootstrap + one batched high-LUT bootstrap for ALL digit pairs,
+        then column accumulation with carry splitting."""
+        return self._accumulate_columns(self._digit_products(o))
+
+    def scalar_mul(self, k: int) -> "EncRadix":
+        """Multiply by a cleartext scalar: free per-digit scaling (with
+        splitting) accumulated across shifted columns."""
+        ctx = self.ctx
+        s = ctx.short
+        k %= ctx.modulus
+        if k == 0:
+            zero = EncShort(s, jnp.zeros_like(self.blocks[0].data), 0)
+            return EncRadix(ctx, [zero] * ctx.n_blocks)
+        x = self.propagate()
+        cols: list[list[EncShort]] = [[] for _ in range(ctx.n_blocks)]
+        for j in range(ctx.n_blocks):
+            d = (k >> (j * s.msg_bits)) & (s.modulus - 1)
+            if d == 0:
+                continue
+            for i in range(ctx.n_blocks - j):
+                blk = x.blocks[i]
+                cols[i + j].append(
+                    EncShort(s, blk.data * U32(d), blk.max_val * d)
+                )
+        return self._accumulate_columns(cols)
+
+    # ---- comparisons (flags are EncShort holding 0/1) ----
+
+    def eq(self, o: "EncRadix") -> EncShort:
+        """Per-block inequality indicators summed (free), then one PBS
+        mapping sum==0 -> 1."""
+        ctx = self.ctx
+        s = ctx.short
+        m = s.modulus
+        assert ctx.n_blocks < s.space, "too many blocks for eq-sum"
+        a, b = self.propagate(), o.propagate()
+        neq_t = [1 if (t >> s.msg_bits) != (t & (m - 1)) else 0
+                 for t in range(s.space)]
+        packed = [x.data * U32(m) + y.data
+                  for x, y in zip(a.blocks, b.blocks)]
+        neqs = ctx._pbs_stack(packed, neq_t)
+        total = neqs[0]
+        for v in neqs[1:]:
+            total = total + v
+        is0_t = [1 if t == 0 else 0 for t in range(s.space)]
+        return EncShort(s, s._pbs(total, is0_t), 1)
+
+    def ne(self, o: "EncRadix") -> EncShort:
+        ctx = self.ctx
+        s = ctx.short
+        flag = self.eq(o)
+        not_t = [1 - (t & 1) if t <= 1 else 0 for t in range(s.space)]
+        return EncShort(s, s._pbs(flag.data, not_t), 1)
+
+    def _compare(self, o: "EncRadix", accept: tuple[int, ...]) -> EncShort:
+        """Three-way radix compare, MSB-down state propagation; returns the
+        0/1 flag for final state in `accept` (subset of {LT, EQ, GT})."""
+        ctx = self.ctx
+        s = ctx.short
+        m = s.modulus
+        a, b = self.propagate(), o.propagate()
+        cmp_t = []
+        for t in range(s.space):
+            x, y = t >> s.msg_bits, t & (m - 1)
+            cmp_t.append(_LT if x < y else (_EQ if x == y else _GT))
+        packed = [x.data * U32(m) + y.data
+                  for x, y in zip(a.blocks, b.blocks)]
+        cmps = ctx._pbs_stack(packed, cmp_t)  # one batched bootstrap
+        state = cmps[-1]  # MSB block
+        comb_t = []
+        for t in range(s.space):
+            hi, lo = t >> 2, t & 3
+            comb_t.append(lo if hi == _EQ else hi)
+        for c in reversed(cmps[:-1]):
+            state = s._pbs(state * U32(4) + c, comb_t)
+        acc_t = [1 if t in accept else 0 for t in range(s.space)]
+        return EncShort(s, s._pbs(state, acc_t), 1)
+
+    def lt(self, o: "EncRadix") -> EncShort:
+        return self._compare(o, (_LT,))
+
+    def le(self, o: "EncRadix") -> EncShort:
+        return self._compare(o, (_LT, _EQ))
+
+    def gt(self, o: "EncRadix") -> EncShort:
+        return self._compare(o, (_GT,))
+
+    def ge(self, o: "EncRadix") -> EncShort:
+        return self._compare(o, (_GT, _EQ))
+
+    # ---- selection ----
+
+    def mux(self, sel: EncShort, other: "EncRadix") -> "EncRadix":
+        """sel ? self : other (sel holds 0/1): per block, two packed LUTs
+        (v*sel and v*(1-sel)) — each layer one batched bootstrap — then a
+        free add."""
+        ctx = self.ctx
+        s = ctx.short
+        m = s.modulus
+        assert sel.max_val <= 1
+        a, b = self.propagate(), other.propagate()
+        keep_t = [(t & (m - 1)) if (t >> s.msg_bits) == 1 else 0
+                  for t in range(s.space)]
+        drop_t = [(t & (m - 1)) if (t >> s.msg_bits) == 0 else 0
+                  for t in range(s.space)]
+        pa = [sel.data * U32(m) + x.data for x in a.blocks]
+        pb = [sel.data * U32(m) + y.data for y in b.blocks]
+        kept = ctx._pbs_stack(pa, keep_t)
+        dropped = ctx._pbs_stack(pb, drop_t)
+        # exactly one of (kept, dropped) is an encryption of 0 per block
+        blocks = [EncShort(s, u + v, m - 1)
+                  for u, v in zip(kept, dropped)]
+        return EncRadix(ctx, blocks)
+
+    def min(self, o: "EncRadix") -> "EncRadix":
+        return self.mux(self.lt(o), o)
+
+    def max(self, o: "EncRadix") -> "EncRadix":
+        return o.mux(self.lt(o), self)

@@ -63,7 +63,11 @@ class Coordinator:
         jax.devices()
         self.auth = AuthService(config.security.secret_key,
                                 config.security.token_lifetime)
-        self.sessions = SessionService()
+        self.sessions = SessionService(
+            persist_path=__import__("pathlib").Path(
+                config.server.storage_directory
+            ) / "sessions.json"
+        )
         self.keys = KeyService(config.server.key_directory)
         self.storage = StorageService(config.server.storage_directory)
         self.execution = ExecutionService(

@@ -69,3 +69,41 @@ def test_sharded_gate_step(toy_keys, sharded_setup):
          for g, x, y in zip(ids_np, bits1, bits2)]
     )
     np.testing.assert_array_equal(got, expect)
+
+
+# ---------------------------------------------------------------------------
+# multi-host helpers (single-process behavior on the virtual mesh)
+# ---------------------------------------------------------------------------
+
+def test_init_multihost_noop_single_process():
+    from herdsman_tpu.mesh import init_multihost
+    # no args, no env vars -> single-process no-op
+    assert init_multihost() is False
+
+
+def test_make_pod_mesh_shapes(toy_keys):
+    from herdsman_tpu.mesh import make_pod_mesh
+    mesh = make_pod_mesh(limb=2)
+    assert mesh.axis_names == ("batch", "limb")
+    assert mesh.devices.shape == (4, 2)
+    full = make_pod_mesh(limb=1)
+    assert full.devices.shape == (8, 1)
+    with pytest.raises(AssertionError):
+        make_pod_mesh(limb=3)  # 8 devices not divisible
+
+
+def test_pod_mesh_runs_sharded_bootstrap(toy_keys):
+    """make_pod_mesh output is a drop-in Mesh for the sharded gate step."""
+    from herdsman_tpu.mesh import make_pod_mesh
+    ck, sk, rng = toy_keys
+    mesh = make_pod_mesh(limb=2)
+    dsk = device_server_key(sk, layouts=("bsk_conv",))
+    dsk_sharded = shard_server_key(dsk, mesh)
+    B = 8
+    bits = rng.integers(0, 2, B).astype(bool)
+    ct = jnp.asarray(ref.encrypt_bool(ck, bits, rng))
+    single = np.asarray(bs.bootstrap_bool_batch(dsk, ct, engine="conv_i8"))
+    sharded = np.asarray(
+        bootstrap_bool_sharded(dsk_sharded, mesh, ct, engine="conv_i8")
+    )
+    assert (single == sharded).all()

@@ -1,0 +1,103 @@
+"""Radix-integer (shortint-block) arithmetic tests — TEST_SMALL params, CPU.
+
+Covers the lazy-carry discipline (adds accumulate, propagation repays),
+two's-complement subtraction, batched-PBS schoolbook multiplication,
+comparisons and selection. Every op decrypts exactly (TEST_SMALL noise is
+real but reduced)."""
+
+import pytest
+
+from herdsman_tpu.core import TEST_SMALL
+from herdsman_tpu.radix import RadixContext
+from herdsman_tpu.shortint import ShortContext
+
+
+@pytest.fixture(scope="module")
+def rctx(small_keys):
+    ck, sk, _ = small_keys
+    short = ShortContext(TEST_SMALL, msg_bits=2, carry_bits=2, keys=(ck, sk))
+    return RadixContext(short, n_blocks=3)  # 6-bit integers
+
+
+MOD = 64
+
+
+def test_roundtrip(rctx):
+    vals = [0, 1, 37, 63]
+    assert rctx.decrypt(rctx.encrypt(vals)) == vals
+
+
+def test_add_chain_lazy_carries(rctx):
+    a_v, b_v = [13, 37, 63, 0], [21, 45, 63, 1]
+    a, b = rctx.encrypt(a_v), rctx.encrypt(b_v)
+    s = a + b
+    assert rctx.decrypt(s) == [(x + y) % MOD for x, y in zip(a_v, b_v)]
+    # chain: forces propagation mid-chain (carry space is 2 bits)
+    total = a
+    for _ in range(6):
+        total = total + b
+    assert rctx.decrypt(total) == [(x + 6 * y) % MOD
+                                   for x, y in zip(a_v, b_v)]
+
+
+def test_scalar_add(rctx):
+    a = rctx.encrypt([5, 60, 0])
+    assert rctx.decrypt(a.scalar_add(7)) == [12, 3, 7]
+    assert rctx.decrypt(a.scalar_add(0)) == [5, 60, 0]
+
+
+def test_neg_sub(rctx):
+    a_v, b_v = [5, 0, 63, 20], [9, 0, 1, 20]
+    a, b = rctx.encrypt(a_v), rctx.encrypt(b_v)
+    assert rctx.decrypt(-a) == [(-x) % MOD for x in a_v]
+    assert rctx.decrypt(a - b) == [(x - y) % MOD for x, y in zip(a_v, b_v)]
+
+
+def test_block_shifts(rctx):
+    a = rctx.encrypt([0b110110, 0b000011])
+    assert rctx.decrypt(a.shift_blocks_left(1)) == [0b011000, 0b001100]
+    assert rctx.decrypt(a.shift_blocks_right(1)) == [0b001101, 0b000000]
+
+
+def test_multiply(rctx):
+    a_v, b_v = [7, 9, 63, 0], [9, 7, 63, 5]
+    a, b = rctx.encrypt(a_v), rctx.encrypt(b_v)
+    assert rctx.decrypt(a * b) == [(x * y) % MOD for x, y in zip(a_v, b_v)]
+
+
+def test_scalar_mul(rctx):
+    a_v = [7, 21, 63]
+    a = rctx.encrypt(a_v)
+    assert rctx.decrypt(a.scalar_mul(5)) == [(x * 5) % MOD for x in a_v]
+    assert rctx.decrypt(a.scalar_mul(0)) == [0, 0, 0]
+    assert rctx.decrypt(a.scalar_mul(1)) == a_v
+
+
+def test_mul_after_add_propagates(rctx):
+    """Carries pending from adds must be repaid before packing."""
+    a = rctx.encrypt([3, 14])
+    b = rctx.encrypt([3, 7])
+    s = a + b          # blocks hold unpropagated sums
+    p = s * b
+    assert rctx.decrypt(p) == [(6 * 3) % MOD, (21 * 7) % MOD]
+
+
+def test_compare(rctx):
+    a_v, b_v = [5, 20, 20, 63], [9, 20, 3, 0]
+    a, b = rctx.encrypt(a_v), rctx.encrypt(b_v)
+    assert rctx.decrypt_flag(a.eq(b)) == [x == y for x, y in zip(a_v, b_v)]
+    assert rctx.decrypt_flag(a.ne(b)) == [x != y for x, y in zip(a_v, b_v)]
+    assert rctx.decrypt_flag(a.lt(b)) == [x < y for x, y in zip(a_v, b_v)]
+    assert rctx.decrypt_flag(a.le(b)) == [x <= y for x, y in zip(a_v, b_v)]
+    assert rctx.decrypt_flag(a.gt(b)) == [x > y for x, y in zip(a_v, b_v)]
+    assert rctx.decrypt_flag(a.ge(b)) == [x >= y for x, y in zip(a_v, b_v)]
+
+
+def test_mux_min_max(rctx):
+    a_v, b_v = [5, 40, 63], [9, 12, 63]
+    a, b = rctx.encrypt(a_v), rctx.encrypt(b_v)
+    sel = a.lt(b)
+    assert rctx.decrypt(a.mux(sel, b)) == [x if x < y else y
+                                           for x, y in zip(a_v, b_v)]
+    assert rctx.decrypt(a.min(b)) == [min(x, y) for x, y in zip(a_v, b_v)]
+    assert rctx.decrypt(a.max(b)) == [max(x, y) for x, y in zip(a_v, b_v)]

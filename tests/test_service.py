@@ -81,6 +81,22 @@ def test_sessions():
         svc.destroy_session_by_name(0, "alpha")
 
 
+def test_sessions_persist_across_restart(tmp_path):
+    """Beyond the reference (whose sessions are lost with the process): a
+    persist_path journals the registry and rehydrates it on construction."""
+    path = tmp_path / "sessions.json"
+    svc = SessionService(persist_path=path)
+    s = svc.create_session(0, "alpha")
+    svc.create_session(3, "beta")
+    svc2 = SessionService(persist_path=path)  # "restart"
+    assert svc2.session_exists_by_uuid(0, s.uuid)
+    assert [x.name for x in svc2.list_sessions(3)] == ["beta"]
+    svc2.destroy_session_by_name(0, "alpha")
+    svc3 = SessionService(persist_path=path)
+    assert not svc3.session_exists_by_uuid(0, s.uuid)
+    assert [x.name for x in svc3.list_sessions(3)] == ["beta"]
+
+
 # ---------------------------------------------------------------------------
 # keystore
 # ---------------------------------------------------------------------------
