@@ -22,6 +22,7 @@ the last row-tile.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,13 @@ from herdsman_tpu.ops.server_key import bt_tile
 U32 = jnp.uint32
 I32 = jnp.int32
 I8 = jnp.int8
+
+# Batch rows per EP grid cell. Larger chunks amortize BT-key streaming
+# (the key re-streams once per chunk per step) at the cost of VMEM: the
+# acc scratch is HALF * Bt * (k+1)*4*P int32 (8 MB at Bt=256 for N=1024),
+# leaving ~6 MB for the double-buffered bt/digit blocks — near the ~16 MB
+# VMEM budget, hence opt-in via env until validated at scale.
+BT_CHUNK = int(os.environ.get("HERDSMAN_BT_CHUNK", "128"))
 
 
 def _combine_limbs(acc: jax.Array, kp1: int, P: int) -> jax.Array:
@@ -178,7 +186,8 @@ def _step_pallas_fused(p: TFHEParams, acc: jax.Array, a_i: jax.Array,
     from herdsman_tpu.ops.pallas.rotate_decompose import rotate_decompose
 
     d8 = rotate_decompose(p, acc, a_i)
-    return external_product_bt_pretiled(p, d8, bsk_bt_i, glwe=acc)
+    return external_product_bt_pretiled(p, d8, bsk_bt_i, glwe=acc,
+                                        bt_chunk=BT_CHUNK)
 
 
 # self-registration (imported lazily from ops.bootstrap)

@@ -95,6 +95,19 @@ class RadixContext:
             off += s
         return res
 
+    def _from_bits(self, bits: list[EncShort]) -> "EncRadix":
+        """Assemble a radix value from LSB-first encrypted 0/1 bits — free
+        (scalar-weighted LWE sums within each block)."""
+        s = self.short
+        assert len(bits) == self.width
+        blocks = []
+        for j in range(self.n_blocks):
+            data = bits[j * s.msg_bits].data
+            for t in range(1, s.msg_bits):
+                data = data + bits[j * s.msg_bits + t].data * U32(1 << t)
+            blocks.append(EncShort(s, data, s.modulus - 1))
+        return EncRadix(self, blocks)
+
     def _split(self, data: jnp.ndarray, max_val: int
                ) -> tuple[EncShort, EncShort]:
         """(low digit, carry) of a working-space value: 2 PBS."""
@@ -297,6 +310,70 @@ class EncRadix:
                     EncShort(s, blk.data * U32(d), blk.max_val * d)
                 )
         return self._accumulate_columns(cols)
+
+    # ---- bit access ----
+
+    def bits(self) -> list[EncShort]:
+        """LSB-first bit extraction: msg_bits LUT layers, each ONE batched
+        bootstrap over all blocks."""
+        ctx = self.ctx
+        s = ctx.short
+        x = self.propagate()
+        datas = [b.data for b in x.blocks]
+        out: list[list[EncShort]] = [[] for _ in range(ctx.n_blocks)]
+        for t in range(s.msg_bits):
+            bit_t = [(v >> t) & 1 for v in range(s.space)]
+            for j, bit in enumerate(ctx._pbs_stack(datas, bit_t)):
+                out[j].append(EncShort(s, bit, 1))
+        return [b for blk in out for b in blk]
+
+    def _mask_by_flag(self, flag: EncShort) -> "EncRadix":
+        """Blockwise value * flag (flag holds 0/1): one batched bootstrap."""
+        ctx = self.ctx
+        s = ctx.short
+        m = s.modulus
+        x = self.propagate()
+        keep_t = [(t & (m - 1)) if (t >> s.msg_bits) == 1 else 0
+                  for t in range(s.space)]
+        packed = [flag.data * U32(m) + b.data for b in x.blocks]
+        return EncRadix(ctx, [
+            EncShort(s, v, m - 1) for v in ctx._pbs_stack(packed, keep_t)
+        ])
+
+    # ---- division ----
+
+    def divmod(self, o: "EncRadix") -> tuple["EncRadix", "EncRadix"]:
+        """Unsigned restoring division -> (quotient, remainder), bit-serial
+        digit recurrence (the tfhe-rs integer div algorithm class): W
+        iterations of shift-in / compare / masked subtract, every PBS layer
+        batched across blocks AND the vector batch.
+
+        Division by zero yields quotient 2^W - 1 and remainder = dividend
+        (same convention as the boolean-circuit divider)."""
+        ctx = self.ctx
+        s = ctx.short
+        d = o.propagate()
+        a_bits = self.bits()
+        zero = EncShort(s, jnp.zeros_like(self.blocks[0].data), 0)
+        rem = EncRadix(ctx, [zero] * ctx.n_blocks)
+        qbits: list[EncShort] = [None] * ctx.width  # type: ignore
+        for i in reversed(range(ctx.width)):
+            rem = rem + rem                       # shift left one bit (free)
+            lsb = rem.blocks[0]
+            rem.blocks[0] = EncShort(
+                s, lsb.data + a_bits[i].data, lsb.max_val + 1
+            )
+            rem = rem.propagate()
+            ge = rem.ge(d)                        # rem >= divisor
+            qbits[i] = ge
+            rem = rem - d._mask_by_flag(ge)       # restore-free subtract
+        return ctx._from_bits(qbits), rem.propagate()
+
+    def __floordiv__(self, o: "EncRadix") -> "EncRadix":
+        return self.divmod(o)[0]
+
+    def __mod__(self, o: "EncRadix") -> "EncRadix":
+        return self.divmod(o)[1]
 
     # ---- comparisons (flags are EncShort holding 0/1) ----
 

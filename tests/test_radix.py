@@ -101,3 +101,26 @@ def test_mux_min_max(rctx):
                                            for x, y in zip(a_v, b_v)]
     assert rctx.decrypt(a.min(b)) == [min(x, y) for x, y in zip(a_v, b_v)]
     assert rctx.decrypt(a.max(b)) == [max(x, y) for x, y in zip(a_v, b_v)]
+
+
+def test_divmod(rctx):
+    """Bit-serial restoring division at 4 bits (2 blocks), incl. the
+    div-by-zero convention (q = 2^W - 1, r = dividend)."""
+    from herdsman_tpu.radix import RadixContext
+    r4 = RadixContext(rctx.short, n_blocks=2)
+    a_v, b_v = [13, 15, 7, 9], [3, 4, 9, 0]
+    a, b = r4.encrypt(a_v), r4.encrypt(b_v)
+    q, r = a.divmod(b)
+    assert r4.decrypt(q) == [4, 3, 0, 15]
+    assert r4.decrypt(r) == [1, 3, 7, 9]
+
+
+def test_bits_roundtrip(rctx):
+    a_v = [0b101101, 0, 63]
+    a = rctx.encrypt(a_v)
+    bits = a.bits()
+    got = [rctx.short.decrypt(b) for b in bits]  # [W][batch]
+    for bi, vals in enumerate(got):
+        assert vals == [(v >> bi) & 1 for v in a_v], f"bit {bi}"
+    back = rctx._from_bits(bits)
+    assert rctx.decrypt(back) == a_v
