@@ -40,9 +40,21 @@ I8 = jnp.int8
 # Batch rows per EP grid cell. Larger chunks amortize BT-key streaming
 # (the key re-streams once per chunk per step) at the cost of VMEM: the
 # acc scratch is HALF * Bt * (k+1)*4*P int32 (8 MB at Bt=256 for N=1024),
-# leaving ~6 MB for the double-buffered bt/digit blocks — near the ~16 MB
-# VMEM budget, hence opt-in via env until validated at scale.
-BT_CHUNK = int(os.environ.get("HERDSMAN_BT_CHUNK", "128"))
+# which needs the scoped-vmem limit raised past the 16 MB default (done
+# below). Validated on v5e hardware: Bt=256 is ~5% faster than 128 and
+# Bt=512 adds only ~1% more for 4x the compile time, so 256 is the default
+# (HERDSMAN_BT_CHUNK overrides). Batches that are not a multiple of the
+# chunk fall back to 128 (the padding granularity of blind_rotate_batch).
+BT_CHUNK = int(os.environ.get("HERDSMAN_BT_CHUNK", "256"))
+
+
+def _pick_chunk(B: int, bt_chunk: int) -> int:
+    if B <= bt_chunk:
+        return B
+    if B % bt_chunk == 0:
+        return bt_chunk
+    assert B % 128 == 0, "pad batch to a multiple of 128 first"
+    return 128
 
 
 def _combine_limbs(acc: jax.Array, kp1: int, P: int) -> jax.Array:
@@ -55,11 +67,37 @@ def _combine_limbs(acc: jax.Array, kp1: int, P: int) -> jax.Array:
     )
 
 
+def _ep_column_total(d_rows, bt_flat, ct: int, P: int, HALF: int):
+    """External-product partial for column-tile ct: the negacyclic sign
+    pattern is two CONTIGUOUS runs over stored-block index j (+ for
+    j <= ct, - for j > ct), so the whole HALF-block contraction collapses
+    into TWO MXU dots with the accumulation inside the systolic array
+    (K = (ct+1)*P and (HALF-1-ct)*P) plus at most ONE i32 subtract —
+    instead of HALF dots chained by [Bt, C4P] i32 adds on the VPU (the
+    measured bottleneck at HALF = 8).
+
+    d_rows: callable sub -> [Bt, P] i8 digit chunk of this GGSW row.
+    bt_flat: [HALF*P, C4P] i8 — stored diagonal blocks, j-major.
+    Row order: stored block j pairs with digit chunk sub = ct - j (j <= ct,
+    positive diagonals) or sub = HALF + ct - j (j > ct, negated ones).
+    """
+    pos = jnp.concatenate([d_rows(ct - j) for j in range(ct + 1)], axis=-1)
+    total = jnp.dot(pos, bt_flat[: (ct + 1) * P],
+                    preferred_element_type=I32)
+    if ct + 1 < HALF:
+        neg = jnp.concatenate(
+            [d_rows(HALF + ct - j) for j in range(ct + 1, HALF)], axis=-1
+        )
+        total = total - jnp.dot(neg, bt_flat[(ct + 1) * P:],
+                                preferred_element_type=I32)
+    return total
+
+
 def _kernel(d_ref, bt_ref, out_ref, acc_ref, *, P: int, HALF: int,
             R: int, kp1: int, fused: bool, glwe_ref=None):
-    """Grid (bc, r): one cell processes ALL HALF x HALF (col-tile, sub-row)
-    block pairs of GGSW row-poly r — every BT diagonal index is STATIC, and
-    each cell issues HALF^2 MXU dots, so per-cell overhead is amortized.
+    """Grid (bc, r): one cell processes ALL column tiles of GGSW row-poly r
+    — every BT diagonal index is STATIC and each column tile is two MXU
+    dots (see _ep_column_total), so per-cell overhead is amortized.
 
     d_ref   [HALF, Bt, P] i8   digits row-tiles of poly r
     bt_ref  [1, HALF, P, C4P]  the HALF stored diagonal blocks of poly r
@@ -67,16 +105,12 @@ def _kernel(d_ref, bt_ref, out_ref, acc_ref, *, P: int, HALF: int,
     out_ref [Bt, kp1, N] u32   written at the last r
     """
     r = pl.program_id(1)
+    bt_flat = bt_ref[0].reshape(HALF * P, bt_ref.shape[-1])
 
     for ct in range(HALF):
-        total = None
-        for sub in range(HALF):
-            m = (ct - sub) % (2 * HALF)
-            tile = bt_ref[0, m % HALF]           # [P, C4P], static index
-            prod = jnp.dot(d_ref[sub], tile, preferred_element_type=I32)
-            if m >= HALF:
-                prod = -prod
-            total = prod if total is None else total + prod
+        total = _ep_column_total(
+            lambda sub: d_ref[sub], bt_flat, ct, P, HALF
+        )
 
         @pl.when(r == 0)
         def _(ct=ct, total=total):
@@ -115,8 +149,7 @@ def external_product_bt_pretiled(
     P, HALF = bt_tile(p)
     R = (p.k + 1) * p.levels
     B = d8.shape[1]
-    Bt = B if B <= bt_chunk else bt_chunk
-    assert B % Bt == 0, "pad batch to a multiple of the chunk first"
+    Bt = _pick_chunk(B, bt_chunk)
     BC = B // Bt
     C4P = (p.k + 1) * 4 * P
 
@@ -136,6 +169,13 @@ def external_product_bt_pretiled(
         args.append(glwe)
         kernel = _kernel_fused
 
+    kwargs = {}
+    if not _use_interpret() and Bt > 128:
+        # the default 16 MB scoped-vmem limit fits Bt=128; larger chunks
+        # (bigger acc scratch) need the limit raised — v5e has headroom
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
     return pl.pallas_call(
         functools.partial(kernel, P=P, HALF=HALF, R=R, kp1=p.k + 1,
                           fused=glwe is not None),
@@ -150,6 +190,7 @@ def external_product_bt_pretiled(
             pltpu.VMEM((HALF, Bt, C4P), I32),
         ],
         interpret=_use_interpret(),
+        **kwargs,
     )(*args)
 
 
@@ -185,7 +226,7 @@ def _step_pallas_fused(p: TFHEParams, acc: jax.Array, a_i: jax.Array,
     (X^a * acc - acc)."""
     from herdsman_tpu.ops.pallas.rotate_decompose import rotate_decompose
 
-    d8 = rotate_decompose(p, acc, a_i)
+    d8 = rotate_decompose(p, acc, a_i, bt_chunk=BT_CHUNK)
     return external_product_bt_pretiled(p, d8, bsk_bt_i, glwe=acc,
                                         bt_chunk=BT_CHUNK)
 

@@ -81,17 +81,14 @@ def _mega_kernel(a_ref, acc0_ref, bt_ref, out_ref,
     # ---- phases 1..R: external product for GGSW row j-1 ----
     @pl.when(j > 0)
     def _():
+        from herdsman_tpu.ops.pallas.blind_rotate import _ep_column_total
+
         r_row = (j - 1) * HALF
+        bt_flat = bt_ref[0, 0].reshape(HALF * P, bt_ref.shape[-1])
         for ct in range(HALF):
-            total = None
-            for sub in range(HALF):
-                m = (ct - sub) % (2 * HALF)
-                tile = bt_ref[0, 0, m % HALF]          # [P, C4P]
-                prod = jnp.dot(dig_sc[r_row + sub], tile,
-                               preferred_element_type=I32)
-                if m >= HALF:
-                    prod = -prod
-                total = prod if total is None else total + prod
+            total = _ep_column_total(
+                lambda sub: dig_sc[r_row + sub], bt_flat, ct, P, HALF
+            )
 
             @pl.when(j == 1)
             def _(ct=ct, total=total):

@@ -69,18 +69,24 @@ def _kernel(acc_ref, a_ref, dig_ref, *, p: TFHEParams, P: int, HALF: int):
 
 
 def rotate_decompose(params: TFHEParams, acc: jax.Array,
-                     a_i: jax.Array) -> jax.Array:
+                     a_i: jax.Array, bt_chunk: int = 128) -> jax.Array:
     """acc [B, k+1, N] u32, a_i [B] i32 in [0, 2N) ->
     digits [RT, B, P] int8 (row-tile major for external_product_bt)."""
     p = params
     P, HALF = bt_tile(p)
     R = (p.k + 1) * p.levels
     RT = R * HALF
+    from herdsman_tpu.ops.pallas.blind_rotate import _pick_chunk
+
     B = acc.shape[0]
-    Bt = B if B <= 128 else 128
-    assert B % Bt == 0, "pad batch to a multiple of 128 first"
+    Bt = _pick_chunk(B, bt_chunk)
     BC = B // Bt
 
+    kwargs = {}
+    if jax.default_backend() == "tpu" and Bt > 128:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
     return pl.pallas_call(
         functools.partial(_kernel, p=p, P=P, HALF=HALF),
         grid=(BC,),
@@ -94,4 +100,5 @@ def rotate_decompose(params: TFHEParams, acc: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((RT, B, P), I8),
         interpret=jax.default_backend() != "tpu",
+        **kwargs,
     )(acc, a_i.reshape(B, 1).astype(I32))

@@ -251,3 +251,36 @@ def test_rotate_decompose_kernel_matches():
         jnp.moveaxis(digits, -1, 2).reshape(B, R * HALF, P).swapaxes(0, 1)
     ).astype(np.int8)
     np.testing.assert_array_equal(got, expect)
+
+
+def test_pallas_bt_chunking_invariance(toy_keys):
+    """external_product_bt_pretiled must be chunk-size invariant (the
+    HERDSMAN_BT_CHUNK knob only changes BT-key streaming granularity)."""
+    from herdsman_tpu.core import TOY
+    from herdsman_tpu.ops.pallas.blind_rotate import (
+        external_product_bt_pretiled,
+    )
+    from herdsman_tpu.ops.decomp import signed_decompose as sd
+    from herdsman_tpu.ops.server_key import bt_tile
+
+    ck, sk, rng = toy_keys
+    dsk = device_server_key(sk, layouts=("bsk_bt",))
+    p = TOY
+    P, HALF = bt_tile(p)
+    B = 8
+    glwe = rand_u32(rng, B, p.k + 1, p.N)
+    digits = sd(jnp.asarray(glwe), p.bg_bits, p.levels)
+    R = (p.k + 1) * p.levels
+    d8 = jnp.moveaxis(digits, -1, 2).reshape(B, R * HALF, P)
+    d8 = jnp.swapaxes(d8, 0, 1).astype(jnp.int8)
+    outs = [
+        np.asarray(external_product_bt_pretiled(
+            p, d8, dsk.bsk_bt[0], glwe=jnp.asarray(glwe), bt_chunk=c))
+        for c in (2, 4, 8)
+    ]
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+    expect = glwe + np.stack(
+        [ref.external_product(p, sk.bsk[0], glwe[b]) for b in range(B)]
+    )
+    np.testing.assert_array_equal(outs[0], expect)
