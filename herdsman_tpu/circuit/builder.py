@@ -284,6 +284,40 @@ class Word:
     def max(self, o: "Word") -> "Word":
         return o.mux(self.lt(o), self)
 
+    def add_with_carry(self, o: "Word") -> tuple["Word", Wire]:
+        """Ripple-carry add returning (sum mod 2^w, carry-out)."""
+        assert len(self) == len(o)
+        b = self.builder
+        carry = b.const(False)
+        out = []
+        for x, y in zip(self.bits, o.bits):
+            s = x ^ y
+            out.append(s ^ carry)
+            carry = (x & y) | (s & carry)
+        return Word(tuple(out)), carry
+
+    def overflowing_add(self, o: "Word") -> tuple["Word", Wire]:
+        """(sum mod 2^w, unsigned overflow flag) — tfhe-rs analog."""
+        return self.add_with_carry(o)
+
+    def overflowing_sub(self, o: "Word") -> tuple["Word", Wire]:
+        """(difference mod 2^w, borrow flag: 1 iff self < o)."""
+        diff = self - o
+        return diff, self.lt(o)
+
+    def zero_extend(self, width: int) -> "Word":
+        assert width >= len(self)
+        b = self.builder
+        return Word(self.bits + tuple(
+            b.const(False) for _ in range(width - len(self))
+        ))
+
+    def mul_full(self, o: "Word") -> "Word":
+        """Full double-width product (no truncation): returns a 2w Word."""
+        assert len(self) == len(o)
+        w = len(self)
+        return self.zero_extend(2 * w) * o.zero_extend(2 * w)
+
 
 class CircuitBuilder:
     def __init__(self, input_columns: Sequence[ColumnMeta]):

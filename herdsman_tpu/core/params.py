@@ -123,6 +123,25 @@ TEST_SMALL = TFHEParams(
     security_bits=0,
 )
 
+# PBS/shortint/radix test set: like TEST_SMALL but with n = 64 so the
+# mod-switch rounding noise (sigma ~ sqrt(n/12) rotation indices) leaves a
+# ~5-sigma margin inside a 16-index slot of the 4-bit (msg 2 + carry 2)
+# working space — TEST_SMALL's n = 128 leaves only ~3.5 sigma, enough for
+# rare single-slot misses across the thousands of PBS a radix test runs.
+TEST_PBS = TFHEParams(
+    name="test_pbs",
+    n=64,
+    lwe_std=2.0,
+    N=256,
+    k=1,
+    glwe_std=2.0,
+    bg_bits=7,
+    levels=3,
+    ks_base_bits=3,
+    ks_levels=5,
+    security_bits=0,
+)
+
 # Production set, 128-bit-class security (CGGI gate bootstrapping).
 # Magnitudes track the classic TFHE boolean parameterizations at q = 2^32:
 #   - LWE n = 768, sigma/q = 2^-18  (absolute sigma = 2^14)
@@ -189,5 +208,5 @@ STD128_SHORTINT = TFHEParams(
 
 PARAM_SETS = {
     p.name: p
-    for p in (TOY, TEST_SMALL, STD128, STD128_FAST, STD128_SHORTINT)
+    for p in (TOY, TEST_SMALL, TEST_PBS, STD128, STD128_FAST, STD128_SHORTINT)
 }

@@ -128,6 +128,10 @@ def mega_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
     P, HALF = bt_tile(p)
     R = (p.k + 1) * p.levels
     B = acc0.shape[0]
+    # Bt stays 128 here: the mega kernel's three scratches leave no VMEM
+    # for cross-phase DMA double-buffering at 256 (measured: 1862/s at
+    # Bt=256 vs ~2900/s class at 128 — pipelining loss dwarfs the
+    # streaming win that helps the per-step kernel).
     Bt = B if B <= 128 else 128
     assert B % Bt == 0, "pad batch to a multiple of 128 first"
     BC = B // Bt

@@ -134,12 +134,18 @@ class EncRadix:
     def propagate(self) -> "EncRadix":
         """Repay all carries: every block back to max_val < modulus.
         Sequential in blocks (carries ripple), batched over the vector.
-        A block already saturating the space is split BEFORE the incoming
-        carry lands so the working space never overflows."""
+        The carry out of the top block is dropped (mod 2^W semantics)."""
+        return self._propagate_carry()[0]
+
+    def _propagate_carry(self) -> tuple["EncRadix", EncShort | None]:
+        """propagate() plus the top-block carry-out (None when the value
+        was already fully reduced). A block already saturating the space is
+        split BEFORE the incoming carry lands so the space never
+        overflows."""
         ctx = self.ctx
         s = ctx.short
         if not self._needs_prop():
-            return self
+            return self, None
         out: list[EncShort] = []
         carry: EncShort | None = None
         for blk in self.blocks:
@@ -162,9 +168,32 @@ class EncRadix:
                 carry = c2 if extra is None else EncShort(
                     s, extra.data + c2.data, extra.max_val + c2.max_val
                 )
-        return EncRadix(ctx, out)
+        return EncRadix(ctx, out), carry
 
     # ---- linear ops ----
+
+    def overflowing_add(self, o: "EncRadix") -> tuple["EncRadix", EncShort]:
+        """(sum mod 2^W, unsigned-overflow flag holding 0/1) — the tfhe-rs
+        overflowing_add analog. The flag is derived from the top-block
+        carry-out of full propagation (one extra PBS)."""
+        ctx = self.ctx
+        s = ctx.short
+        a, b = self.propagate(), o.propagate()  # inputs reduced mod 2^W
+        total = EncRadix(ctx, [
+            EncShort(s, x.data + y.data, x.max_val + y.max_val)
+            for x, y in zip(a.blocks, b.blocks)
+        ])
+        out, carry = total._propagate_carry()
+        if carry is None:
+            flag = EncShort(s, jnp.zeros_like(out.blocks[0].data), 0)
+        else:
+            nz_t = [1 if t else 0 for t in range(s.space)]
+            flag = EncShort(s, s._pbs(carry.data, nz_t), 1)
+        return out, flag
+
+    def overflowing_sub(self, o: "EncRadix") -> tuple["EncRadix", EncShort]:
+        """(difference mod 2^W, borrow flag: 1 iff self < o)."""
+        return self - o, self.lt(o)
 
     def __add__(self, o: "EncRadix") -> "EncRadix":
         ctx = self.ctx

@@ -61,3 +61,14 @@ def small_keys():
     rng = np.random.default_rng(1234)
     ck, sk = ref.keygen(TEST_SMALL, rng)
     return ck, sk, rng
+
+
+@pytest.fixture(scope="session")
+def pbs_keys():
+    """Keys for PBS-heavy suites (shortint/radix): TEST_PBS's n=64 keeps the
+    mod-switch noise ~5 sigma inside a 4-bit working-space slot."""
+    from herdsman_tpu.core import TEST_PBS
+
+    rng = np.random.default_rng(4321)
+    ck, sk = ref.keygen(TEST_PBS, rng)
+    return ck, sk, rng

@@ -7,15 +7,15 @@ real but reduced)."""
 
 import pytest
 
-from herdsman_tpu.core import TEST_SMALL
+from herdsman_tpu.core import TEST_PBS
 from herdsman_tpu.radix import RadixContext
 from herdsman_tpu.shortint import ShortContext
 
 
 @pytest.fixture(scope="module")
-def rctx(small_keys):
-    ck, sk, _ = small_keys
-    short = ShortContext(TEST_SMALL, msg_bits=2, carry_bits=2, keys=(ck, sk))
+def rctx(pbs_keys):
+    ck, sk, _ = pbs_keys
+    short = ShortContext(TEST_PBS, msg_bits=2, carry_bits=2, keys=(ck, sk))
     return RadixContext(short, n_blocks=3)  # 6-bit integers
 
 
@@ -124,3 +124,14 @@ def test_bits_roundtrip(rctx):
         assert vals == [(v >> bi) & 1 for v in a_v], f"bit {bi}"
     back = rctx._from_bits(bits)
     assert rctx.decrypt(back) == a_v
+
+
+def test_overflowing_add_sub(rctx):
+    a_v, b_v = [60, 1, 32, 63], [10, 2, 32, 63]
+    a, b = rctx.encrypt(a_v), rctx.encrypt(b_v)
+    s, over = a.overflowing_add(b)
+    assert rctx.decrypt(s) == [(x + y) % MOD for x, y in zip(a_v, b_v)]
+    assert rctx.decrypt_flag(over) == [x + y >= MOD for x, y in zip(a_v, b_v)]
+    d, borrow = a.overflowing_sub(b)
+    assert rctx.decrypt(d) == [(x - y) % MOD for x, y in zip(a_v, b_v)]
+    assert rctx.decrypt_flag(borrow) == [x < y for x, y in zip(a_v, b_v)]

@@ -3,16 +3,17 @@
 import numpy as np
 import pytest
 
-from herdsman_tpu.core import TEST_SMALL
+from herdsman_tpu.core import TEST_PBS
 from herdsman_tpu.shortint import ShortContext
 
 
 @pytest.fixture(scope="module")
-def sctx(small_keys):
+def sctx(pbs_keys):
     # TOY's N=64 cannot host the 32-slot working space (mod-switch noise
-    # exceeds the slot width); TEST_SMALL's N=256 gives 16 indices per slot
-    ck, sk, _ = small_keys
-    return ShortContext(TEST_SMALL, msg_bits=2, carry_bits=2, keys=(ck, sk))
+    # exceeds the slot width); TEST_PBS's N=256 gives 16 indices per slot
+    # and its n=64 keeps the rounding noise ~5 sigma inside one
+    ck, sk, _ = pbs_keys
+    return ShortContext(TEST_PBS, msg_bits=2, carry_bits=2, keys=(ck, sk))
 
 
 def test_roundtrip(sctx):

@@ -158,3 +158,29 @@ def test_floordiv_mod_operators():
     for row, got in zip(rows, _run(build, rows)):
         a, d = row
         assert got["q"] == a // d and got["r"] == a % d
+
+
+def test_add_with_carry_and_overflow():
+    def build(b, wa, wb):
+        s, c = wa.add_with_carry(wb)
+        b.output("s", s)
+        b.output("c", c)
+        d, borrow = wa.overflowing_sub(wb)
+        b.output("d", d)
+        b.output("bw", borrow)
+    rows = [[200, 100], [255, 1], [5, 9], [0, 0]]
+    for row, got in zip(rows, _run(build, rows)):
+        a, bb = row
+        assert got["s"] == (a + bb) & MASK
+        assert got["c"] == int(a + bb > MASK)
+        assert got["d"] == (a - bb) & MASK
+        assert got["bw"] == int(a < bb)
+
+
+def test_mul_full_double_width():
+    def build(b, wa, wb):
+        b.output("p", wa.mul_full(wb), )
+    rows = [[200, 100], [255, 255], [13, 0], [17, 15]]
+    for row, got in zip(rows, _run(build, rows)):
+        a, bb = row
+        assert got["p"] == a * bb
