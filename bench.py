@@ -57,29 +57,15 @@ def get_keys(params_name: str):
 
 
 def get_dsk(args, sk):
-    """Device key with the engine's layout; the block-Toeplitz expansion is
-    cached on disk (it is deterministic in the key)."""
-    import jax.numpy as jnp
-
-    from herdsman_tpu.ops.server_key import (
-        DeviceServerKey, device_server_key,
-    )
+    """Device key with the engine's layout. The block-Toeplitz expansion
+    runs ON DEVICE (ops/server_key._block_toeplitz_layout_device): ~seconds,
+    no multi-GB host array, so no disk cache is needed."""
+    from herdsman_tpu.ops.server_key import device_server_key
 
     if args.engine.startswith("pallas"):
-        bt_cache = f"/tmp/herdsman_bt_{args.params}.npy"
-        kskl_cache = f"/tmp/herdsman_kskl_{args.params}.npy"
-        if os.path.exists(bt_cache) and os.path.exists(kskl_cache):
-            log(f"loading cached BT layout from {bt_cache}")
-            return DeviceServerKey(
-                params=sk.params, bsk_ext=None, bsk_conv=None,
-                bsk_bt=jnp.asarray(np.load(bt_cache, mmap_mode="r")),
-                ksk_limbs=jnp.asarray(np.load(kskl_cache)), ksk=None,
-            )
         t0 = time.time()
         dsk = device_server_key(sk, layouts=("bsk_bt",))
-        log(f"BT layout prep: {time.time() - t0:.1f}s")
-        np.save(bt_cache, np.asarray(dsk.bsk_bt))
-        np.save(kskl_cache, np.asarray(dsk.ksk_limbs))
+        log(f"BT layout prep (on device): {time.time() - t0:.1f}s")
         return dsk
     layout = {"conv_i8": ("bsk_conv",), "gather_u32": ("bsk_ext",)}.get(
         args.engine, ("bsk_ext", "bsk_conv"))

@@ -98,7 +98,7 @@ def device_server_key(
 
     bsk_bt = None
     if "bsk_bt" in layouts:
-        bsk_bt = jnp.asarray(_block_toeplitz_layout(p, ext))
+        bsk_bt = _block_toeplitz_layout_device(p, ext)
 
     ksk = sk.ksk  # [kN, t, n+1] u32
     ksk_limbs = _np_i8_limbs(ksk).reshape(p.kN * p.ks_levels, (p.n + 1) * 4)
@@ -143,3 +143,31 @@ def _block_toeplitz_layout(p: TFHEParams, ext: np.ndarray) -> np.ndarray:
         reord = np.transpose(limbs, (0, 1, 3, 4, 2, 6, 5))
         out[i0:i1] = reord.reshape(i1 - i0, R, HALF, P, kp1 * 4 * P)
     return out
+
+
+def _block_toeplitz_layout_device(p: TFHEParams, ext: np.ndarray) -> jax.Array:
+    """`_block_toeplitz_layout` computed ON DEVICE: ships only ext
+    (n*R*(k+1)*2N u32, ~50 MB at STD128_FAST) and expands with a jitted
+    per-step gather + limb split (`lax.map` over the n steps), writing the
+    multi-GB bt layout straight into HBM. The chunked-NumPy host path takes
+    ~15 min for a production key; this takes seconds and removes the
+    multi-GB host->device transfer entirely. Bit-identical to the NumPy
+    layout (tests/test_ops_bitexact.py::test_bt_layout_device_matches_host).
+    """
+    n, R, kp1, twoN = ext.shape
+    P, HALF = bt_tile(p)
+    m_idx = np.arange(HALF)[:, None, None]
+    p_idx = np.arange(P)[None, :, None]
+    q_idx = np.arange(P)[None, None, :]
+    idx = jnp.asarray((P * m_idx + q_idx - p_idx) % twoN)  # [HALF, P, P]
+    shifts = jnp.asarray([0, 8, 16, 24], dtype=jnp.uint32)
+
+    def one(e: jax.Array) -> jax.Array:  # e [R, kp1, 2N] u32
+        blocks = e[:, :, idx]  # [R, kp1, HALF, P, P] u32
+        u = blocks + jnp.uint32(0x80808080)
+        limbs = ((u[..., None] >> shifts) & jnp.uint32(0xFF)).astype(
+            jnp.int32) - 128  # [R, kp1, HALF, P, P, 4]
+        reord = jnp.transpose(limbs.astype(jnp.int8), (0, 2, 3, 1, 5, 4))
+        return reord.reshape(R, HALF, P, kp1 * 4 * P)
+
+    return jax.jit(lambda x: jax.lax.map(one, x))(jnp.asarray(ext))

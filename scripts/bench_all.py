@@ -47,21 +47,10 @@ def run_param_set(name, engines, batches):
     ck, sk = get_keys(name)
     say(f"keys: {time.time() - t0:.0f}s")
     t0 = time.time()
-    import os
-    bt_cache = f"/tmp/herdsman_bt_{name}.npy"
-    if os.path.exists(bt_cache):
-        from herdsman_tpu.ops.server_key import DeviceServerKey, _np_i8_limbs
-        bt = np.load(bt_cache, mmap_mode="r")
-        kskl = _np_i8_limbs(sk.ksk).reshape(
-            p.kN * p.ks_levels, (p.n + 1) * 4)
-        dsk = DeviceServerKey(params=p, bsk_ext=None, bsk_conv=None,
-                              bsk_bt=jnp.asarray(bt),
-                              ksk_limbs=jnp.asarray(kskl), ksk=None)
-    else:
-        dsk = device_server_key(sk, layouts=("bsk_bt",))
-        np.save(bt_cache, np.asarray(dsk.bsk_bt))
+    # BT expansion now runs on device (seconds) — no disk cache needed
+    dsk = device_server_key(sk, layouts=("bsk_bt",))
     jax.block_until_ready(dsk.bsk_bt)
-    say(f"BT prep+transfer: {time.time() - t0:.0f}s "
+    say(f"BT prep (on device): {time.time() - t0:.0f}s "
         f"({dsk.bsk_bt.size / 1e9:.1f} GB)")
 
     rng = np.random.default_rng(7)

@@ -284,3 +284,17 @@ def test_pallas_bt_chunking_invariance(toy_keys):
         [ref.external_product(p, sk.bsk[0], glwe[b]) for b in range(B)]
     )
     np.testing.assert_array_equal(outs[0], expect)
+
+
+def test_bt_layout_device_matches_host(small_keys):
+    """On-device block-Toeplitz expansion == the chunked-NumPy layout."""
+    from herdsman_tpu.core import TEST_SMALL
+    from herdsman_tpu.ops import server_key as skm
+
+    _, sk, _ = small_keys
+    p = TEST_SMALL
+    R = (p.k + 1) * p.levels
+    ext = skm._np_ext(sk.bsk.reshape(p.n, R, p.k + 1, p.N))
+    host = skm._block_toeplitz_layout(p, ext)
+    dev = np.asarray(skm._block_toeplitz_layout_device(p, ext))
+    np.testing.assert_array_equal(dev, host)
