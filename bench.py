@@ -205,10 +205,58 @@ def bench_shortint(args) -> None:
     }))
 
 
+def bench_radix(args) -> None:
+    """Radix-integer throughput: encrypted 8-bit multiply (4 shortint
+    blocks x 2 bits, batched-PBS schoolbook) — chained-dependent timing
+    ending in a host fetch, decrypt-gated."""
+    from herdsman_tpu.core import PARAM_SETS
+    from herdsman_tpu.radix import RadixContext
+    from herdsman_tpu.shortint import ShortContext
+
+    params = PARAM_SETS[args.params]
+    ck, sk = get_keys(args.params)
+    short = ShortContext(params, msg_bits=2, carry_bits=2,
+                         engine=args.engine, keys=(ck, sk),
+                         dsk=get_dsk(args, sk))
+    rctx = RadixContext(short, n_blocks=4)
+    rng = np.random.default_rng(42)
+    B = args.batch
+    av = rng.integers(0, 256, B)
+    bv = rng.integers(1, 256, B)
+    a, b = rctx.encrypt(av), rctx.encrypt(bv)
+
+    t0 = time.time()
+    got = np.array(rctx.decrypt(a * b))
+    log(f"compile+first 8-bit mul over batch {B}: {time.time() - t0:.1f}s")
+    ok = (got == (av * bv) % 256).all()
+    if not ok:
+        log(f"WARNING: {int((got != (av * bv) % 256).sum())}/{B} mismatches")
+
+    K = max(3, args.iters)
+    t0 = time.time()
+    c, cv = a, av.copy()
+    for _ in range(K):
+        c = c * b
+        cv = (cv * bv) % 256
+    got = np.array(rctx.decrypt(c))
+    dt = (time.time() - t0) / K
+    ok = ok and (got == cv).all()
+    rate = B / dt
+    log(f"chained x{K}: {dt * 1e3:.1f} ms/mul-batch => {rate:.1f} "
+        f"8-bit muls/s/chip (exact: {ok})")
+    print(json.dumps({
+        "metric": f"radix_u8_mul_per_sec_{args.params}",
+        "value": round(rate, 2),
+        "unit": "muls/s/chip",
+        "vs_baseline": 1.0 if ok else 0.0,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--metric", default="bootstrap",
-                    choices=["bootstrap", "rns", "noise", "shortint"])
+                    choices=["bootstrap", "rns", "noise", "shortint",
+                             "radix"])
     ap.add_argument("--params", default="std128_fast")
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--engine", default=os.environ.get("HERDSMAN_BENCH_ENGINE",
@@ -225,6 +273,12 @@ def main() -> None:
         return
     if args.metric == "shortint":
         bench_shortint(args)
+        return
+    if args.metric == "radix":
+        if args.params == "std128_fast":
+            args.params = "std128_shortint"  # PBS-safe slot margins
+            log("radix metric: params -> std128_shortint")
+        bench_radix(args)
         return
 
     import jax

@@ -80,6 +80,12 @@ class RadixContext:
     def decrypt_flag(self, flag: EncShort) -> list[bool]:
         return [bool(v) for v in self.short.decrypt(flag)]
 
+    def decrypt_signed(self, x: "EncRadix") -> list[int]:
+        """Two's-complement decode of the W-bit value."""
+        half = 1 << (self.width - 1)
+        return [v - self.modulus if v >= half else v
+                for v in self.decrypt(x)]
+
     # ---- batched-PBS plumbing ----
 
     def _pbs_stack(self, datas: list[jnp.ndarray], table) -> list[jnp.ndarray]:
@@ -117,6 +123,40 @@ class RadixContext:
         lo, hi = (s._pbs(data, lo_t), s._pbs(data, hi_t))
         return (EncShort(s, lo, s.modulus - 1),
                 EncShort(s, hi, max_val >> s.msg_bits))
+
+    def _accumulate_columns(self, cols: list[list[EncShort]],
+                            like: jnp.ndarray) -> "EncRadix":
+        """Column-sum with carry splitting whenever the space would
+        overflow; carries feed the next column. `like` fixes the batch
+        shape for empty columns."""
+        s = self.short
+        blocks: list[EncShort] = []
+        carry_terms: list[list[EncShort]] = [
+            [] for _ in range(self.n_blocks + 1)
+        ]
+        for j in range(self.n_blocks):
+            terms = cols[j] + carry_terms[j]
+            acc_data = jnp.zeros_like(like)
+            acc_max = 0
+            for t in terms:
+                if acc_max + t.max_val >= s.space:
+                    low, c = self._split(acc_data, acc_max)
+                    carry_terms[j + 1].append(c)
+                    acc_data, acc_max = low.data, low.max_val
+                acc_data = acc_data + t.data
+                acc_max += t.max_val
+            blocks.append(EncShort(s, acc_data, acc_max))
+        return EncRadix(self, blocks)
+
+    def sum(self, values: list["EncRadix"]) -> "EncRadix":
+        """Multi-operand sum mod 2^W: carry-save accumulation — every
+        carry split is a batched 2-PBS, carries feed the next column, so
+        k-operand sums avoid k separate ripple propagations."""
+        assert values, "empty sum"
+        assert all(v.ctx is self for v in values)
+        cols = [[v.blocks[j] for v in values]
+                for j in range(self.n_blocks)]
+        return self._accumulate_columns(cols, values[0].blocks[0].data)
 
 
 @dataclasses.dataclass
@@ -227,17 +267,8 @@ class EncRadix:
         return EncRadix(ctx, blocks)
 
     def __neg__(self) -> "EncRadix":
-        """Two's complement: blockwise (m-1) - b (free), then +1."""
-        from herdsman_tpu.ops import pbs as pbs_mod
-        ctx = self.ctx
-        s = ctx.short
-        x = self.propagate()
-        mu = int(pbs_mod.encode(s.params, s.modulus - 1, s.space_bits))
-        comp = []
-        for blk in x.blocks:
-            const = jnp.zeros_like(blk.data).at[:, s.params.n].set(U32(mu))
-            comp.append(EncShort(s, const - blk.data, s.modulus - 1))
-        return EncRadix(ctx, comp).scalar_add(1)
+        """Two's complement: bitwise NOT (free), then +1."""
+        return (~self).scalar_add(1)
 
     def __sub__(self, o: "EncRadix") -> "EncRadix":
         return self + (-o)
@@ -264,59 +295,188 @@ class EncRadix:
             [zero] * min(k, ctx.n_blocks)
         return EncRadix(ctx, blocks)
 
-    # ---- multiplication ----
+    # ---- bit-granular shifts and rotations (cleartext amount) ----
 
-    def _digit_products(self, o: "EncRadix") -> list[list[EncShort]]:
-        """All nb^2 packed digit products (low and high halves) gathered per
-        output column — the low/high LUT layers each run as ONE batched
-        bootstrap."""
+    def _stitch(self, rem: int, src, right: bool) -> "EncRadix":
+        """Blockwise sub-digit stitch: out block j combines src(j) and its
+        neighbor via ONE batched packed-LUT bootstrap.
+        left  (right=False): (src(j) << rem) | (src(j-1) >> (msg-rem))
+        right (right=True):  (src(j) >> rem) | (src(j+1) << (msg-rem))
+        `src` maps a block index (possibly out of range → zero) to an
+        EncShort; all inputs must be reduced (max_val < modulus)."""
         ctx = self.ctx
         s = ctx.short
         m = s.modulus
+        if right:
+            def f(x, y):
+                return ((x >> rem) | (y << (s.msg_bits - rem))) & (m - 1)
+        else:
+            def f(x, y):
+                return ((x << rem) | (y >> (s.msg_bits - rem))) & (m - 1)
+        table = [f(t >> s.msg_bits, t & (m - 1)) for t in range(s.space)]
+        packed = []
+        for j in range(ctx.n_blocks):
+            cur = src(j)
+            nbr = src(j + 1) if right else src(j - 1)
+            base = cur.data * U32(m)
+            packed.append(base if nbr is None else base + nbr.data)
+        return EncRadix(ctx, [
+            EncShort(s, v, m - 1) for v in ctx._pbs_stack(packed, table)
+        ])
+
+    def shift_bits_left(self, k: int) -> "EncRadix":
+        """x << k (mod 2^W), cleartext k: free whole-block move + at most
+        one batched stitch bootstrap for the sub-digit remainder."""
+        ctx = self.ctx
+        s = ctx.short
+        if k >= ctx.width:
+            zero = EncShort(s, jnp.zeros_like(self.blocks[0].data), 0)
+            return EncRadix(ctx, [zero] * ctx.n_blocks)
+        qb, rem = divmod(k, s.msg_bits)
+        x = self.shift_blocks_left(qb) if qb else self
+        if rem == 0:
+            return x
+        x = x.propagate()
+
+        def src(j):
+            return x.blocks[j] if 0 <= j < ctx.n_blocks else None
+
+        return x._stitch(rem, src, right=False)
+
+    def shift_bits_right(self, k: int) -> "EncRadix":
+        """x >> k (logical), cleartext k."""
+        ctx = self.ctx
+        s = ctx.short
+        if k >= ctx.width:
+            zero = EncShort(s, jnp.zeros_like(self.blocks[0].data), 0)
+            return EncRadix(ctx, [zero] * ctx.n_blocks)
+        qb, rem = divmod(k, s.msg_bits)
+        x = self.shift_blocks_right(qb) if qb else self
+        if rem == 0:
+            return x
+        x = x.propagate()
+
+        def src(j):
+            return x.blocks[j] if 0 <= j < ctx.n_blocks else None
+
+        return x._stitch(rem, src, right=True)
+
+    def shift_bits_right_signed(self, k: int) -> "EncRadix":
+        """Arithmetic right shift (sign-extending), cleartext k: logical
+        shift + free sign-mask fill (flag-scaled cleartext digits)."""
+        ctx = self.ctx
+        s = ctx.short
+        k = min(k, ctx.width - 1)
+        sgn = self.sign_bit()
+        x = self.shift_bits_right(k)
+        mask = ((1 << k) - 1) << (ctx.width - k) if k else 0
+        blocks = []
+        for j, blk in enumerate(x.blocks):
+            d = (mask >> (j * s.msg_bits)) & (s.modulus - 1)
+            if d == 0:
+                blocks.append(blk)
+            else:  # blk < m and fill < m share no bits: sum stays < space
+                blocks.append(EncShort(s, blk.data + sgn.data * U32(d),
+                                       blk.max_val + d))
+        return EncRadix(ctx, blocks)
+
+    def rotate_bits_left(self, k: int) -> "EncRadix":
+        """Rotate left by cleartext k (mod W)."""
+        ctx = self.ctx
+        s = ctx.short
+        k %= ctx.width
+        qb, rem = divmod(k, s.msg_bits)
+        x = self.propagate()
+        nb = ctx.n_blocks
+        rot = [x.blocks[(j - qb) % nb] for j in range(nb)]
+        if rem == 0:
+            return EncRadix(ctx, rot)
+        y = EncRadix(ctx, rot)
+        return y._stitch(rem, lambda j: rot[j % nb], right=False)
+
+    def rotate_bits_right(self, k: int) -> "EncRadix":
+        return self.rotate_bits_left(-k % self.ctx.width)
+
+    # ---- encrypted-amount shifts (barrel shifter) ----
+
+    def _barrel(self, amount: "EncRadix", step) -> "EncRadix":
+        """log2(W) mux layers: layer t applies step(x, 2^t) iff bit t of
+        `amount` is set. Shift semantics follow tfhe-rs: the amount is
+        taken mod W (W must be a power of two)."""
+        ctx = self.ctx
+        W = ctx.width
+        nbits = W.bit_length() - 1
+        assert (1 << nbits) == W, \
+            "encrypted-amount shifts need a power-of-two bit width"
+        abits = amount.bits()[:nbits]
+        x = self
+        for t, bit in enumerate(abits):
+            x = step(x, 1 << t).mux(bit, x)
+        return x
+
+    def shift_left(self, amount: "EncRadix") -> "EncRadix":
+        return self._barrel(amount, lambda x, k: x.shift_bits_left(k))
+
+    def shift_right(self, amount: "EncRadix") -> "EncRadix":
+        return self._barrel(amount, lambda x, k: x.shift_bits_right(k))
+
+    def shift_right_signed(self, amount: "EncRadix") -> "EncRadix":
+        return self._barrel(amount,
+                            lambda x, k: x.shift_bits_right_signed(k))
+
+    def rotate_left(self, amount: "EncRadix") -> "EncRadix":
+        return self._barrel(amount, lambda x, k: x.rotate_bits_left(k))
+
+    def rotate_right(self, amount: "EncRadix") -> "EncRadix":
+        return self._barrel(amount, lambda x, k: x.rotate_bits_right(k))
+
+    # ---- multiplication ----
+
+    def _digit_products(self, o: "EncRadix",
+                        out_blocks: int | None = None
+                        ) -> list[list[EncShort]]:
+        """All packed digit products (low and high halves) gathered per
+        output column — the low/high LUT layers each run as ONE batched
+        bootstrap. `out_blocks` widens the column range (wide multiply);
+        default truncates at n_blocks (mod-2^W product)."""
+        ctx = self.ctx
+        s = ctx.short
+        m = s.modulus
+        nb_out = out_blocks if out_blocks is not None else ctx.n_blocks
         a, b = self.propagate(), o.propagate()
         lo_t = [((t >> s.msg_bits) * (t & (m - 1))) % m for t in range(s.space)]
         hi_t = [((t >> s.msg_bits) * (t & (m - 1))) // m for t in range(s.space)]
         packed, lo_dst, hi_dst = [], [], []
         for i in range(ctx.n_blocks):
-            for j in range(ctx.n_blocks - i):
+            for j in range(min(ctx.n_blocks, nb_out - i)):
                 packed.append(a.blocks[i].data * U32(m) + b.blocks[j].data)
                 lo_dst.append(i + j)
                 hi_dst.append(i + j + 1)
-        cols: list[list[EncShort]] = [[] for _ in range(ctx.n_blocks)]
+        cols: list[list[EncShort]] = [[] for _ in range(nb_out)]
         for dst, lo in zip(lo_dst, ctx._pbs_stack(packed, lo_t)):
             cols[dst].append(EncShort(s, lo, m - 1))
-        hi_packed = [p for p, d in zip(packed, hi_dst) if d < ctx.n_blocks]
-        hi_keep = [d for d in hi_dst if d < ctx.n_blocks]
+        hi_packed = [p for p, d in zip(packed, hi_dst) if d < nb_out]
+        hi_keep = [d for d in hi_dst if d < nb_out]
         for dst, hi in zip(hi_keep, ctx._pbs_stack(hi_packed, hi_t)):
             cols[dst].append(EncShort(s, hi, m - 2))  # (m-1)^2 // m
         return cols
 
     def _accumulate_columns(self, cols: list[list[EncShort]]) -> "EncRadix":
-        """Column-sum with carry splitting whenever the space would
-        overflow; carries feed the next column."""
-        ctx = self.ctx
-        s = ctx.short
-        blocks: list[EncShort] = []
-        carry_terms: list[list[EncShort]] = [[] for _ in range(ctx.n_blocks + 1)]
-        for j in range(ctx.n_blocks):
-            terms = cols[j] + carry_terms[j]
-            acc_data = jnp.zeros_like(self.blocks[0].data)
-            acc_max = 0
-            for t in terms:
-                if acc_max + t.max_val >= s.space:
-                    low, c = ctx._split(acc_data, acc_max)
-                    carry_terms[j + 1].append(c)
-                    acc_data, acc_max = low.data, low.max_val
-                acc_data = acc_data + t.data
-                acc_max += t.max_val
-            blocks.append(EncShort(s, acc_data, acc_max))
-        return EncRadix(ctx, blocks)
+        return self.ctx._accumulate_columns(cols, self.blocks[0].data)
 
     def __mul__(self, o: "EncRadix") -> "EncRadix":
         """Schoolbook digit multiply, mod 2^width: one batched low-LUT
         bootstrap + one batched high-LUT bootstrap for ALL digit pairs,
         then column accumulation with carry splitting."""
         return self._accumulate_columns(self._digit_products(o))
+
+    def mul_wide(self, o: "EncRadix") -> "EncRadix":
+        """Full 2W-bit product (tfhe-rs unsigned widening multiply): same
+        batched low/high LUT layers, no column truncation; the result
+        lives in a doubled RadixContext over the same ShortContext."""
+        ctx2 = RadixContext(self.ctx.short, 2 * self.ctx.n_blocks)
+        cols = self._digit_products(o, out_blocks=ctx2.n_blocks)
+        return ctx2._accumulate_columns(cols, self.blocks[0].data)
 
     def scalar_mul(self, k: int) -> "EncRadix":
         """Multiply by a cleartext scalar: free per-digit scaling (with
@@ -339,6 +499,45 @@ class EncRadix:
                     EncShort(s, blk.data * U32(d), blk.max_val * d)
                 )
         return self._accumulate_columns(cols)
+
+    # ---- bitwise ops ----
+
+    def _bitwise(self, o: "EncRadix", fn) -> "EncRadix":
+        """Blockwise bivariate bit-op: pack (x, y) per block and apply the
+        LUT table[x*m+y] = fn(x, y) — ONE batched bootstrap for all
+        blocks."""
+        ctx = self.ctx
+        s = ctx.short
+        m = s.modulus
+        a, b = self.propagate(), o.propagate()
+        table = [fn(t >> s.msg_bits, t & (m - 1)) % m for t in range(s.space)]
+        packed = [x.data * U32(m) + y.data
+                  for x, y in zip(a.blocks, b.blocks)]
+        return EncRadix(ctx, [
+            EncShort(s, v, m - 1) for v in ctx._pbs_stack(packed, table)
+        ])
+
+    def __and__(self, o: "EncRadix") -> "EncRadix":
+        return self._bitwise(o, lambda x, y: x & y)
+
+    def __or__(self, o: "EncRadix") -> "EncRadix":
+        return self._bitwise(o, lambda x, y: x | y)
+
+    def __xor__(self, o: "EncRadix") -> "EncRadix":
+        return self._bitwise(o, lambda x, y: x ^ y)
+
+    def __invert__(self) -> "EncRadix":
+        """Bitwise NOT = blockwise (m-1) - digit: free LWE arithmetic."""
+        from herdsman_tpu.ops import pbs as pbs_mod
+        ctx = self.ctx
+        s = ctx.short
+        x = self.propagate()
+        mu = int(pbs_mod.encode(s.params, s.modulus - 1, s.space_bits))
+        blocks = []
+        for blk in x.blocks:
+            const = jnp.zeros_like(blk.data).at[:, s.params.n].set(U32(mu))
+            blocks.append(EncShort(s, const - blk.data, s.modulus - 1))
+        return EncRadix(ctx, blocks)
 
     # ---- bit access ----
 
@@ -467,6 +666,62 @@ class EncRadix:
 
     def ge(self, o: "EncRadix") -> EncShort:
         return self._compare(o, (_GT, _EQ))
+
+    # ---- signed (two's complement) views ----
+
+    def sign_bit(self) -> EncShort:
+        """0/1 flag = the two's-complement sign (top bit): one PBS on the
+        top block."""
+        ctx = self.ctx
+        s = ctx.short
+        x = self.propagate()
+        half = s.modulus >> 1
+        sgn_t = [1 if (t % s.modulus) >= half else 0 for t in range(s.space)]
+        return EncShort(s, s._pbs(x.blocks[-1].data, sgn_t), 1)
+
+    def _signed_bias(self) -> "EncRadix":
+        """Add 2^(W-1) mod 2^W — maps signed order onto unsigned order."""
+        return self.scalar_add(1 << (self.ctx.width - 1))
+
+    def lt_signed(self, o: "EncRadix") -> EncShort:
+        return self._signed_bias().lt(o._signed_bias())
+
+    def le_signed(self, o: "EncRadix") -> EncShort:
+        return self._signed_bias().le(o._signed_bias())
+
+    def gt_signed(self, o: "EncRadix") -> EncShort:
+        return self._signed_bias().gt(o._signed_bias())
+
+    def ge_signed(self, o: "EncRadix") -> EncShort:
+        return self._signed_bias().ge(o._signed_bias())
+
+    def min_signed(self, o: "EncRadix") -> "EncRadix":
+        return self.mux(self.lt_signed(o), o)
+
+    def max_signed(self, o: "EncRadix") -> "EncRadix":
+        return o.mux(self.lt_signed(o), self)
+
+    def abs_signed(self) -> "EncRadix":
+        """|x| under two's complement (|INT_MIN| wraps to itself)."""
+        return (-self).mux(self.sign_bit(), self)
+
+    def _neg_if(self, flag: EncShort) -> "EncRadix":
+        """flag ? -self : self."""
+        return (-self).mux(flag, self)
+
+    def divmod_signed(self, o: "EncRadix") -> tuple["EncRadix", "EncRadix"]:
+        """Signed division with C semantics (truncation toward zero;
+        remainder takes the dividend's sign): unsigned restoring divmod on
+        the absolute values + sign fix-ups via mux."""
+        ctx = self.ctx
+        s = ctx.short
+        sa, sb = self.sign_bit(), o.sign_bit()
+        q, r = self.abs_signed().divmod(o.abs_signed())
+        # q negated iff signs differ: sa XOR sb via packed LUT (one PBS)
+        xor_t = [(t >> s.msg_bits) ^ (t & 1) if (t >> s.msg_bits) <= 1
+                 else 0 for t in range(s.space)]
+        sq = EncShort(s, s._pbs(sa.data * U32(s.modulus) + sb.data, xor_t), 1)
+        return q._neg_if(sq), r._neg_if(sa)
 
     # ---- selection ----
 

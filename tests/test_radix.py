@@ -126,6 +126,102 @@ def test_bits_roundtrip(rctx):
     assert rctx.decrypt(back) == a_v
 
 
+def test_bitwise(rctx):
+    a_v, b_v = [0b101101, 0b110011, 0, 63], [0b011011, 0b110011, 63, 0]
+    a, b = rctx.encrypt(a_v), rctx.encrypt(b_v)
+    assert rctx.decrypt(a & b) == [x & y for x, y in zip(a_v, b_v)]
+    assert rctx.decrypt(a | b) == [x | y for x, y in zip(a_v, b_v)]
+    assert rctx.decrypt(a ^ b) == [x ^ y for x, y in zip(a_v, b_v)]
+    assert rctx.decrypt(~a) == [x ^ 63 for x in a_v]
+
+
+def test_sum_many(rctx):
+    vals = [[13, 63], [21, 63], [9, 63], [50, 63], [7, 1]]
+    encs = [rctx.encrypt(v) for v in vals]
+    got = rctx.decrypt(rctx.sum(encs))
+    assert got == [sum(col) % MOD for col in zip(*vals)]
+
+
+def test_mul_wide(rctx):
+    r4 = RadixContext(rctx.short, n_blocks=2)
+    a_v, b_v = [13, 15, 7, 0], [11, 15, 9, 5]
+    p = r4.encrypt(a_v).mul_wide(r4.encrypt(b_v))
+    assert p.ctx.n_blocks == 4
+    assert p.ctx.decrypt(p) == [x * y for x, y in zip(a_v, b_v)]
+
+
+def test_shift_bits_cleartext(rctx):
+    a_v = [0b101101, 0b000111, 63]
+    a = rctx.encrypt(a_v)
+    for k in (0, 1, 3, 5, 6, 9):
+        assert rctx.decrypt(a.shift_bits_left(k)) == \
+            [(x << k) % MOD for x in a_v], f"<< {k}"
+        assert rctx.decrypt(a.shift_bits_right(k)) == \
+            [x >> k for x in a_v], f">> {k}"
+    for k in (1, 5, 6):
+        want = [((x << (k % 6)) | (x >> (6 - k % 6))) % MOD for x in a_v]
+        assert rctx.decrypt(a.rotate_bits_left(k)) == want, f"rol {k}"
+        wantr = [((x >> (k % 6)) | (x << (6 - k % 6))) % MOD for x in a_v]
+        assert rctx.decrypt(a.rotate_bits_right(k)) == wantr, f"ror {k}"
+
+
+def test_shift_encrypted_amount(rctx):
+    """Barrel shifter over a power-of-two width (W=4), amounts 0..3
+    in one batch (amount is taken mod W, tfhe-rs semantics)."""
+    r4 = RadixContext(rctx.short, n_blocks=2)
+    a_v = [0b1011, 0b1011, 0b1011, 0b1011]
+    k_v = [0, 1, 2, 3]
+    a, k = r4.encrypt(a_v), r4.encrypt(k_v)
+    assert r4.decrypt(a.shift_left(k)) == \
+        [(x << s) % 16 for x, s in zip(a_v, k_v)]
+    assert r4.decrypt(a.shift_right(k)) == \
+        [x >> s for x, s in zip(a_v, k_v)]
+    assert r4.decrypt(a.rotate_left(k)) == \
+        [((x << s) | (x >> (4 - s))) % 16 if s else x
+         for x, s in zip(a_v, k_v)]
+    assert r4.decrypt(a.rotate_right(k)) == \
+        [((x >> s) | (x << (4 - s))) % 16 if s else x
+         for x, s in zip(a_v, k_v)]
+
+
+def test_signed_compare_abs(rctx):
+    a_v, b_v = [-5, 3, -32, 31, -1], [3, -5, 31, -32, -1]
+    a, b = rctx.encrypt(a_v), rctx.encrypt(b_v)
+    assert rctx.decrypt_signed(a) == a_v
+    assert rctx.decrypt_flag(a.lt_signed(b)) == \
+        [x < y for x, y in zip(a_v, b_v)]
+    assert rctx.decrypt_flag(a.ge_signed(b)) == \
+        [x >= y for x, y in zip(a_v, b_v)]
+    assert rctx.decrypt_signed(a.min_signed(b)) == \
+        [min(x, y) for x, y in zip(a_v, b_v)]
+    assert rctx.decrypt_signed(a.max_signed(b)) == \
+        [max(x, y) for x, y in zip(a_v, b_v)]
+    # |INT_MIN| wraps to itself in W-bit two's complement
+    assert rctx.decrypt_signed(a.abs_signed()) == \
+        [abs(x) if x != -32 else -32 for x in a_v]
+    assert rctx.decrypt_flag(a.sign_bit()) == [x < 0 for x in a_v]
+
+
+def test_signed_divmod(rctx):
+    """C semantics: truncation toward zero, remainder takes the
+    dividend's sign."""
+    r4 = RadixContext(rctx.short, n_blocks=2)
+    a_v, b_v = [7, -7, 7, -7], [3, 3, -3, -3]
+    a, b = r4.encrypt(a_v), r4.encrypt(b_v)
+    q, r = a.divmod_signed(b)
+    dec = r4.decrypt_signed
+    assert dec(q) == [int(x / y) for x, y in zip(a_v, b_v)]
+    assert dec(r) == [x - int(x / y) * y for x, y in zip(a_v, b_v)]
+
+
+def test_arithmetic_right_shift(rctx):
+    a_v = [-20, 20, -1, 1]
+    a = rctx.encrypt(a_v)
+    for k in (0, 1, 3):
+        assert rctx.decrypt_signed(a.shift_bits_right_signed(k)) == \
+            [x >> k for x in a_v], f">>s {k}"
+
+
 def test_overflowing_add_sub(rctx):
     a_v, b_v = [60, 1, 32, 63], [10, 2, 32, 63]
     a, b = rctx.encrypt(a_v), rctx.encrypt(b_v)
