@@ -260,7 +260,7 @@ def main() -> None:
     ap.add_argument("--params", default="std128_fast")
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--engine", default=os.environ.get("HERDSMAN_BENCH_ENGINE",
-                                                       "pallas_fused"))
+                                                       "pallas_mega"))
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--ntt-n", type=int, default=4096)
     args = ap.parse_args()
@@ -281,12 +281,24 @@ def main() -> None:
         bench_radix(args)
         return
 
+    try:
+        bench_bootstrap(args)
+    except Exception as e:  # noqa: BLE001 — headline must always print
+        if args.engine == "pallas_mega":
+            log(f"pallas_mega failed ({type(e).__name__}: {e}); "
+                "falling back to pallas_fused")
+            args.engine = "pallas_fused"
+            bench_bootstrap(args)
+        else:
+            raise
+
+
+def bench_bootstrap(args) -> None:
     import jax
     import jax.numpy as jnp
 
     from herdsman_tpu.core import reference as ref
     from herdsman_tpu.ops import bootstrap as bs
-    from herdsman_tpu.ops.server_key import device_server_key
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}; engine={args.engine} "

@@ -166,6 +166,36 @@ class Word:
                 cur = (cur >> (1 << j)).mux(sel, cur)
         return cur
 
+    def shift_right_arith_enc(self, amount: "Word") -> "Word":
+        """Arithmetic right shift by an ENCRYPTED amount (sign fills;
+        amounts >= width saturate to all-sign)."""
+        w = len(self)
+        cur = self
+        for j, sel in enumerate(amount.bits):
+            k = 1 << j
+            if k >= w:
+                shifted = Word(tuple([cur.bits[-1]] * w))
+            else:
+                shifted = cur.shift_right_arith(k)
+            cur = shifted.mux(sel, cur)
+        return cur
+
+    def rotl_enc(self, amount: "Word") -> "Word":
+        """Rotate left by an ENCRYPTED amount (taken mod width — rotations
+        compose mod w, so every amount bit is honored)."""
+        cur = self
+        for j, sel in enumerate(amount.bits):
+            k = (1 << j) % len(self)
+            cur = cur.rotl(k).mux(sel, cur) if k else cur
+        return cur
+
+    def rotr_enc(self, amount: "Word") -> "Word":
+        cur = self
+        for j, sel in enumerate(amount.bits):
+            k = (1 << j) % len(self)
+            cur = cur.rotr(k).mux(sel, cur) if k else cur
+        return cur
+
     def eq(self, o: "Word") -> Wire:
         assert len(self) == len(o)
         acc = self.bits[0].xnor(o.bits[0])
@@ -257,6 +287,15 @@ class Word:
 
     def __mod__(self, o: "Word") -> "Word":
         return self.divmod(o)[1]
+
+    def divmod_signed(self, o: "Word") -> tuple["Word", "Word"]:
+        """Signed division, C semantics (quotient truncates toward zero,
+        remainder takes the dividend's sign): unsigned divmod on absolute
+        values + conditional negation."""
+        sa, sb = self.bits[-1], o.bits[-1]
+        q, r = self.abs_signed().divmod(o.abs_signed())
+        sq = sa ^ sb
+        return q.neg().mux(sq, q), r.neg().mux(sa, r)
 
     def mux(self, sel: Wire, other: "Word") -> "Word":
         """sel ? self : other, bitwise."""

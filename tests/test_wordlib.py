@@ -74,6 +74,37 @@ def test_encrypted_amount_shifts():
             assert got["shr"] == a >> k
 
 
+def test_encrypted_amount_arith_shift_and_rotates():
+    def build(b, wa, wb):
+        b.output("sar", wa.shift_right_arith_enc(wb))
+        b.output("rol", wa.rotl_enc(wb))
+        b.output("ror", wa.rotr_enc(wb))
+    for row, got in zip(ROWS, _run(build, ROWS)):
+        a, k = row
+        sa = _signed(a) >> k if k < W else (-1 if a & 0x80 else 0)
+        assert got["sar"] == sa & MASK
+        kk = k % W
+        rol = ((a << kk) | (a >> (W - kk))) & MASK if kk else a
+        ror = ((a >> kk) | (a << (W - kk))) & MASK if kk else a
+        assert got["rol"] == rol
+        assert got["ror"] == ror
+
+
+def test_divmod_signed():
+    """C semantics: truncation toward zero, remainder takes the dividend's
+    sign (x == q*y + r for all representable cases)."""
+    def build(b, wa, wb):
+        q, r = wa.divmod_signed(wb)
+        b.output("q", q)
+        b.output("r", r)
+    rows = [[7, 3], [249, 3], [7, 253], [249, 253], [255, 1], [1, 255],
+            [128, 255], [100, 7], [156, 7], [100, 249], [156, 249]]
+    for row, got in zip(rows, _run(build, rows)):
+        x, y = _signed(row[0]), _signed(row[1])
+        assert got["q"] == int(x / y) & MASK, (x, y)
+        assert got["r"] == (x - int(x / y) * y) & MASK, (x, y)
+
+
 def test_comparisons_unsigned_and_signed():
     def build(b, wa, wb):
         b.output("ne", wa.ne(wb))
