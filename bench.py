@@ -252,11 +252,69 @@ def bench_radix(args) -> None:
     }))
 
 
+def bench_scaling(args) -> None:
+    """BASELINE configs 4/5: DP scaling efficiency over every visible
+    device. Times the full herd gate step (linear combine + bootstrap,
+    the fast per-shard engine) on a batch-axis mesh over all N devices vs
+    the single-device rate; efficiency = rate_N / (N * rate_1). On 1-chip
+    hardware this degenerates to ~1.0 (the virtual-mesh correctness path
+    is covered by tests and dryrun_multichip; this harness measures real
+    ICI scaling whenever the driver provides a slice)."""
+    import jax
+    import jax.numpy as jnp
+
+    from herdsman_tpu.core import reference as ref
+    from herdsman_tpu.mesh import (bootstrap_bool_sharded, make_mesh,
+                                   shard_server_key)
+    from herdsman_tpu.ops import bootstrap as bs
+
+    ndev = len(jax.devices())
+    ck, sk = get_keys(args.params)
+    dsk = get_dsk(args, sk)
+    B1 = args.batch
+    BN = B1 * ndev
+    rng = np.random.default_rng(7)
+    K = max(3, args.iters)
+
+    def chained_rate(fn, B):
+        bits = rng.integers(0, 2, B).astype(bool)
+        ct = jnp.asarray(ref.encrypt_bool(ck, bits, rng))
+        out = np.asarray(fn(ct))  # compile + correctness gate
+        ok = (ref.lwe_decrypt_bool(ck, out) == bits).all()
+        t0 = time.time()
+        c = ct
+        for _ in range(K):
+            c = fn(c)
+        np.asarray(c)
+        return B / ((time.time() - t0) / K), ok
+
+    rate1, ok1 = chained_rate(
+        lambda c: bs.bootstrap_bool_batch(dsk, c, engine=args.engine), B1)
+    log(f"1 device: {rate1:.1f} bootstraps/s (exact={ok1})")
+    if ndev == 1:
+        eff, rate_n, ok_n = 1.0, rate1, ok1
+    else:
+        mesh = make_mesh(batch=ndev, limb=1)
+        dsk_sh = shard_server_key(dsk, mesh)
+        rate_n, ok_n = chained_rate(
+            lambda c: bootstrap_bool_sharded(dsk_sh, mesh, c,
+                                             engine=args.engine), BN)
+        eff = rate_n / (ndev * rate1)
+        log(f"{ndev} devices: {rate_n:.1f} bootstraps/s "
+            f"=> efficiency {eff:.3f} (exact={ok_n})")
+    print(json.dumps({
+        "metric": f"dp_scaling_efficiency_{ndev}dev",
+        "value": round(eff, 4),
+        "unit": f"fraction of linear ({rate_n:.0f} bootstraps/s total)",
+        "vs_baseline": 1.0 if (ok1 and ok_n) else 0.0,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--metric", default="bootstrap",
                     choices=["bootstrap", "rns", "noise", "shortint",
-                             "radix"])
+                             "radix", "scaling"])
     ap.add_argument("--params", default="std128_fast")
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--engine", default=os.environ.get("HERDSMAN_BENCH_ENGINE",
@@ -279,6 +337,9 @@ def main() -> None:
             args.params = "std128_shortint"  # PBS-safe slot margins
             log("radix metric: params -> std128_shortint")
         bench_radix(args)
+        return
+    if args.metric == "scaling":
+        bench_scaling(args)
         return
 
     try:

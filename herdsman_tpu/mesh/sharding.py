@@ -108,10 +108,37 @@ def _local_blind_rotate(dsk: DeviceServerKey, ct: jax.Array,
 
 def bootstrap_bool_sharded(
     dsk: DeviceServerKey, mesh: Mesh, ct: jax.Array,
-    engine: str = "conv_i8",
+    engine: str = "conv_i8", unroll: bool = False,
 ) -> jax.Array:
-    """Full sign bootstrap sharded (batch, limb): [B, n+1] -> [B, n+1]."""
+    """Full sign bootstrap sharded (batch, limb): [B, n+1] -> [B, n+1].
+
+    EP-level engines (`bs.ENGINES`) support both mesh axes. Step/rotation
+    engines (pallas_fused, pallas_mega — the fast single-chip kernels)
+    shard over `batch` only: each device runs the whole fused kernel on
+    its batch shard (pure DP, zero collectives — the reference's
+    one-partition-per-worker dispatch as array sharding)."""
     p = dsk.params
+    if engine.startswith("pallas"):
+        bs._register_pallas_engine()
+    if engine not in bs.ENGINES:
+        entry = bs.STEP_ENGINES.get(engine) or bs.ROTATION_ENGINES[engine]
+        key_layout = entry[1]
+        assert dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+            "limb", 1) == 1, "step/rotation engines shard over batch only"
+
+        def dp_body(ct_shard, bsk_arr, ksk_limbs):
+            local = dataclasses.replace(
+                dsk, **{key_layout: bsk_arr}, ksk_limbs=ksk_limbs)
+            return bs.bootstrap_bool_batch(local, ct_shard, engine=engine,
+                                           unroll=unroll)
+
+        fn = jax.shard_map(
+            dp_body, mesh=mesh,
+            in_specs=(P("batch"), P(), P()),
+            out_specs=P("batch"),
+            check_vma=False,
+        )
+        return fn(ct, getattr(dsk, key_layout), dsk.ksk_limbs)
     _, key_layout = bs.ENGINES[engine]
     bsk = getattr(dsk, key_layout)
     tv = bs.make_test_poly(p)

@@ -17,7 +17,7 @@ from herdsman_tpu.ops.server_key import device_server_key
 U32 = np.uint32
 
 ENGINES = ["gather_u32", "conv_i8", "pallas_bt", "pallas_fused",
-           "pallas_mega"]
+           "pallas_mega", "pallas_mega2"]
 # scan/jit-wrapped paths skip pallas engines on CPU (interpret-in-scan is
 # pathologically slow to compile); pallas coverage comes from the unrolled
 # blind-rotate/bootstrap tests above + TPU benches
