@@ -318,7 +318,7 @@ def main() -> None:
     ap.add_argument("--params", default="std128_fast")
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--engine", default=os.environ.get("HERDSMAN_BENCH_ENGINE",
-                                                       "pallas_mega"))
+                                                       "pallas_mega2"))
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--ntt-n", type=int, default=4096)
     args = ap.parse_args()
@@ -345,8 +345,8 @@ def main() -> None:
     try:
         bench_bootstrap(args)
     except Exception as e:  # noqa: BLE001 — headline must always print
-        if args.engine == "pallas_mega":
-            log(f"pallas_mega failed ({type(e).__name__}: {e}); "
+        if args.engine.startswith("pallas_mega"):
+            log(f"{args.engine} failed ({type(e).__name__}: {e}); "
                 "falling back to pallas_fused")
             args.engine = "pallas_fused"
             bench_bootstrap(args)

@@ -91,10 +91,16 @@ def circuit_cost(circuit: Circuit) -> dict:
 
 
 def compile_circuit(circuit: Circuit, dsk: DeviceServerKey,
-                    engine: str = "conv_i8"):
+                    engine: str = "conv_i8", mesh=None):
     """Returns a jitted fn: input [rows, num_input_bits, n+1] u32 ->
     output [rows, num_output_bits, n+1] u32 (output columns' bits
-    concatenated in declaration order, LSB-first)."""
+    concatenated in declaration order, LSB-first).
+
+    With `mesh`, rows are sharded over the mesh's `batch` axis
+    (jit in/out shardings; GSPMD propagates the sharding through the gate
+    batches) — the whole multi-stage plan then runs data-parallel over the
+    device herd, the reference's one-partition-per-worker dispatch
+    (src/execution/executor/executor.cpp:96-113) as array sharding."""
     circuit.validate()
     p = dsk.params
     n_in = circuit.num_input_bits
@@ -187,6 +193,25 @@ def compile_circuit(circuit: Circuit, dsk: DeviceServerKey,
         ]
         return jnp.stack([wires[w] for w in out_wires], axis=1)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = dict(zip(mesh.axis_names, mesh.devices.shape))["batch"]
+        s = NamedSharding(mesh, PartitionSpec("batch"))
+        jfn = jax.jit(run, in_shardings=s, out_shardings=s)
+
+        def padded(inputs: jax.Array) -> jax.Array:
+            """Explicit shardings need rows % batch_axis == 0: pad with
+            copies of row 0 (reduce-fold tails shrink below the axis)."""
+            r = inputs.shape[0]
+            pad = (-r) % axis
+            if pad:
+                fill = jnp.broadcast_to(inputs[:1],
+                                        (pad,) + inputs.shape[1:])
+                return jfn(jnp.concatenate([inputs, fill], axis=0))[:r]
+            return jfn(inputs)
+
+        return padded
     return jax.jit(run)
 
 

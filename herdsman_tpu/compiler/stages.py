@@ -88,10 +88,11 @@ class PlanCompiler:
     """Compiles and executes ExecutionPlans against a device server key."""
 
     def __init__(self, dsk: DeviceServerKey, engine: str = "conv_i8",
-                 optimize: bool = True):
+                 optimize: bool = True, mesh=None):
         self.dsk = dsk
         self.engine = engine
         self.optimize = optimize
+        self.mesh = mesh  # shard plan rows over the mesh's batch axis
         # id(circuit) -> (jitted fn, circuit actually compiled)
         self._circuit_cache: dict[int, tuple[Callable, Circuit]] = {}
 
@@ -100,7 +101,8 @@ class PlanCompiler:
         if key not in self._circuit_cache:
             lowered = optimize_circuit(circuit) if self.optimize else circuit
             self._circuit_cache[key] = (
-                compile_circuit(lowered, self.dsk, engine=self.engine),
+                compile_circuit(lowered, self.dsk, engine=self.engine,
+                                mesh=self.mesh),
                 lowered,
             )
         return self._circuit_cache[key]

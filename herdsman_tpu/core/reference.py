@@ -342,16 +342,22 @@ def blind_rotate(
     return acc
 
 
-def sample_extract(params: TFHEParams, glwe: np.ndarray) -> np.ndarray:
-    """Extract coeff 0 as an LWE ct of dimension kN (+ body): [kN+1]."""
+def sample_extract(params: TFHEParams, glwe: np.ndarray,
+                   offset: int = 0) -> np.ndarray:
+    """Extract coeff `offset` as an LWE ct of dimension kN (+ body): [kN+1].
+
+    Coefficient `offset` of a_j * s_j is sum_i a_j[(offset - i) mod N] *
+    s_j[i], with + sign for i <= offset and - beyond (X^N = -1)."""
     p = params
     a_out = np.empty(p.kN, dtype=U32)
     for j in range(p.k):
         aj = glwe[j]
-        # phase at X^0: a_j[0]*s_j[0] - sum_{c>=1} a_j[N-c]*s_j[c]
-        a_out[j * p.N] = aj[0]
-        a_out[j * p.N + 1 : (j + 1) * p.N] = U32(0) - aj[:0:-1]
-    b_out = glwe[p.k, 0]
+        idx = (offset - np.arange(p.N)) % p.N
+        coeffs = aj[idx]
+        neg = np.arange(p.N) > offset
+        a_out[j * p.N : (j + 1) * p.N] = np.where(
+            neg, U32(0) - coeffs, coeffs)
+    b_out = glwe[p.k, offset]
     return np.concatenate([a_out, np.array([b_out], dtype=U32)])
 
 

@@ -95,11 +95,19 @@ def _register_pallas_engine() -> None:
 # Bootstrap pipeline
 # ---------------------------------------------------------------------------
 
-def mod_switch_2N(p: TFHEParams, ct: jax.Array) -> jax.Array:
-    """Round LWE coords from q=2^32 to 2N: [..., n+1] u32 -> i32 in [0, 2N)."""
-    shift = 32 - (p.log2_2N + 1)
+def mod_switch_2N(p: TFHEParams, ct: jax.Array,
+                  coarse_bits: int = 0) -> jax.Array:
+    """Round LWE coords from q=2^32 to 2N: [..., n+1] u32 -> i32 in [0, 2N).
+
+    `coarse_bits` = log2(k) rounds to multiples of k instead (the
+    reduced-precision modulus switch of many-LUT PBS: rotation lands on
+    every k-th coefficient so k interleaved LUTs can be extracted from one
+    blind rotation)."""
+    shift = 32 - (p.log2_2N + 1) + coarse_bits
     r = ct >> U32(shift)
-    return ((r + U32(1)) >> U32(1)).astype(I32) & I32(p.two_N - 1)
+    idx = ((r + U32(1)) >> U32(1)).astype(I32) & I32(
+        (p.two_N >> coarse_bits) - 1)
+    return idx << coarse_bits if coarse_bits else idx
 
 
 def blind_rotate_batch(
@@ -108,6 +116,7 @@ def blind_rotate_batch(
     test_poly: jax.Array,
     engine: str = "conv_i8",
     unroll: bool = False,
+    coarse_bits: int = 0,
 ) -> jax.Array:
     """GINX blind rotation of a batch. ct [B, n+1] u32 -> acc [B, k+1, N] u32."""
     p = dsk.params
@@ -129,7 +138,7 @@ def blind_rotate_batch(
             [ct, jnp.zeros((pad, ct.shape[1]), dtype=ct.dtype)], axis=0
         )
     B = ct.shape[0]
-    tilde = mod_switch_2N(p, ct)  # [B, n+1]
+    tilde = mod_switch_2N(p, ct, coarse_bits)  # [B, n+1]
     a_t = tilde[:, : p.n]
     b_t = tilde[:, p.n]
 
@@ -170,13 +179,24 @@ def blind_rotate_batch(
     return acc[:B0]
 
 
-def sample_extract_batch(p: TFHEParams, acc: jax.Array) -> jax.Array:
-    """Extract coeff 0: [B, k+1, N] u32 -> LWE [B, kN+1] u32."""
+def sample_extract_batch(p: TFHEParams, acc: jax.Array,
+                         offset: int = 0) -> jax.Array:
+    """Extract coeff `offset`: [B, k+1, N] u32 -> LWE [B, kN+1] u32.
+
+    Coefficient j of a * s is sum_i a[(j - i) mod N] * s[i] with the
+    negacyclic sign (+ for i <= j, - for i > j)."""
     a_polys = acc[:, : p.k, :]  # [B, k, N]
-    first = a_polys[..., :1]
-    rest = jnp.zeros_like(a_polys[..., :0:-1]) - a_polys[..., :0:-1]
-    a_out = jnp.concatenate([first, rest], axis=-1).reshape(acc.shape[0], p.kN)
-    b_out = acc[:, p.k, :1]
+    if offset == 0:
+        first = a_polys[..., :1]
+        rest = jnp.zeros_like(a_polys[..., :0:-1]) - a_polys[..., :0:-1]
+        a_out = jnp.concatenate([first, rest], axis=-1)
+    else:
+        rev = a_polys[..., ::-1]
+        rolled = jnp.roll(rev, offset + 1, axis=-1)  # [i] = a[(j - i) mod N]
+        keep = (jnp.arange(p.N) <= offset)
+        a_out = jnp.where(keep, rolled, jnp.zeros_like(rolled) - rolled)
+    a_out = a_out.reshape(acc.shape[0], p.kN)
+    b_out = acc[:, p.k, offset:offset + 1]
     return jnp.concatenate([a_out, b_out], axis=-1)
 
 

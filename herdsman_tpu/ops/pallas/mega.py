@@ -238,12 +238,17 @@ def _mega2_kernel(a_ref, acc0_ref, bt_ref, out_ref, acc_sc, *,
 
 def mega2_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
                        bsk_bt: jax.Array) -> jax.Array:
-    """Same contract as mega_blind_rotate; grid (batch-chunk, step)."""
+    """Same contract as mega_blind_rotate; grid (batch-chunk, step).
+    Larger chunks (HERDSMAN_MEGA_BT) cut key re-streams — mega2's only
+    scratch is the accumulator, so VMEM headroom allows it (unlike the
+    phased mega kernel, where Bt=256 collapsed pipelining)."""
+    import os
     p = params
     P, HALF = bt_tile(p)
     R = (p.k + 1) * p.levels
     B = acc0.shape[0]
-    Bt = B if B <= 128 else 128
+    bt_env = int(os.environ.get("HERDSMAN_MEGA_BT", "128"))
+    Bt = B if B <= bt_env else (bt_env if B % bt_env == 0 else 128)
     assert B % Bt == 0, "pad batch to a multiple of 128 first"
     BC = B // Bt
     C4P = (p.k + 1) * 4 * P

@@ -83,3 +83,73 @@ def pbs_batch(dsk: DeviceServerKey, ct: jax.Array, table,
     acc = bs.blind_rotate_batch(dsk, ct, tv, engine=engine, unroll=unroll)
     raw = bs.sample_extract_batch(dsk.params, acc)
     return bs.key_switch_batch(dsk, raw)
+
+
+# ---------------------------------------------------------------------------
+# Many-LUT PBS (PBSmanyLUT, Chillotti-Ligier-Orfila-Tap class): k LUTs from
+# ONE blind rotation. The modulus switch rounds to multiples of k (rotation
+# lands on every k-th coefficient), the test polynomial interleaves the k
+# functions at fine indices k*u + j, and coefficient j is sample-extracted
+# per LUT. Cost: one rotation + k cheap extract/key-switch passes instead of
+# k full rotations; the price is a k-times-coarser rounding window.
+# ---------------------------------------------------------------------------
+
+def many_lut_capacity(params: TFHEParams, msg_bits: int,
+                      min_window: int = 32) -> int:
+    """Largest power-of-two LUT count whose per-message fine-index window
+    stays >= min_window (the mod-switch noise safety criterion; 32 fine
+    indices leaves ~5 sigma at n=768)."""
+    space = 1 << (msg_bits + 1)
+    k = 1
+    while 2 * params.N // (space * 2 * k) >= min_window:
+        k *= 2
+    return k
+
+
+def lut_test_poly_many(params: TFHEParams, tables, msg_bits: int) -> jax.Array:
+    """Interleaved test polynomial: fine coefficient k*u + j holds
+    f_j(message of coarse index u). The k=1 case reduces to
+    lut_test_poly."""
+    p = params
+    k = len(tables)
+    assert k & (k - 1) == 0, "LUT count must be a power of two"
+    space = 1 << (msg_bits + 1)
+    window_c = (2 * p.N // k) // space  # coarse indices per message
+    assert window_c >= 1, "message space too large for N/k"
+    delta = (1 << 32) // space
+    v = np.zeros(p.N, dtype=np.uint32)
+    for m in range(1 << msg_bits):
+        vals = [np.uint32((int(t[m]) % space * delta) & 0xFFFFFFFF)
+                for t in tables]
+        for uu in range(window_c):
+            base = k * (m * window_c + uu)
+            for j in range(k):
+                idx = base + j
+                if idx < p.N:
+                    v[idx] = vals[j]
+    half = k * window_c // 2  # center each window (fine units)
+    if half:
+        v = np.concatenate([v[half:], np.uint32(0) - v[:half]])
+    return jnp.asarray(v)
+
+
+def pbs_many_batch(dsk: DeviceServerKey, ct: jax.Array, tables,
+                   msg_bits: int, engine: str = "conv_i8",
+                   unroll: bool = False) -> list[jax.Array]:
+    """Evaluate k LUTs over the SAME ciphertext batch with one blind
+    rotation: [B, n+1] -> k x [B, n+1]. The k key switches run as one
+    batched MXU matmul."""
+    p = dsk.params
+    k = len(tables)
+    if k == 1:
+        return [pbs_batch(dsk, ct, tables[0], msg_bits, engine=engine,
+                          unroll=unroll)]
+    coarse = k.bit_length() - 1
+    assert (1 << coarse) == k, "LUT count must be a power of two"
+    tv = lut_test_poly_many(p, tables, msg_bits)
+    acc = bs.blind_rotate_batch(dsk, ct, tv, engine=engine, unroll=unroll,
+                                coarse_bits=coarse)
+    raws = [bs.sample_extract_batch(p, acc, offset=j) for j in range(k)]
+    B = ct.shape[0]
+    out = bs.key_switch_batch(dsk, jnp.concatenate(raws, axis=0))
+    return [out[j * B:(j + 1) * B] for j in range(k)]

@@ -101,6 +101,23 @@ class RadixContext:
             off += s
         return res
 
+    def _pbs_stack_many(self, datas: list[jnp.ndarray], tables
+                        ) -> list[list[jnp.ndarray]]:
+        """k LUTs over a shared stack: [k][len(datas)] results — ONE blind
+        rotation total when the ShortContext has many-LUT enabled."""
+        if not datas:
+            return [[] for _ in tables]
+        sizes = [d.shape[0] for d in datas]
+        outs = self.short._pbs_many(jnp.concatenate(datas, axis=0), tables)
+        res = []
+        for out in outs:
+            row, off = [], 0
+            for s in sizes:
+                row.append(out[off: off + s])
+                off += s
+            res.append(row)
+        return res
+
     def _from_bits(self, bits: list[EncShort]) -> "EncRadix":
         """Assemble a radix value from LSB-first encrypted 0/1 bits — free
         (scalar-weighted LWE sums within each block)."""
@@ -116,11 +133,12 @@ class RadixContext:
 
     def _split(self, data: jnp.ndarray, max_val: int
                ) -> tuple[EncShort, EncShort]:
-        """(low digit, carry) of a working-space value: 2 PBS."""
+        """(low digit, carry) of a working-space value — one blind rotation
+        under many-LUT, else 2 PBS."""
         s = self.short
         lo_t = [t % s.modulus for t in range(s.space)]
         hi_t = [t >> s.msg_bits for t in range(s.space)]
-        lo, hi = (s._pbs(data, lo_t), s._pbs(data, hi_t))
+        lo, hi = s._pbs_many(data, [lo_t, hi_t])
         return (EncShort(s, lo, s.modulus - 1),
                 EncShort(s, hi, max_val >> s.msg_bits))
 
@@ -453,6 +471,16 @@ class EncRadix:
                 lo_dst.append(i + j)
                 hi_dst.append(i + j + 1)
         cols: list[list[EncShort]] = [[] for _ in range(nb_out)]
+        if ctx.short.many_lut:
+            # lo+hi of every pair from ONE blind rotation; unused hi
+            # results (top column overflow) are simply dropped
+            los, his = ctx._pbs_stack_many(packed, [lo_t, hi_t])
+            for dst, lo in zip(lo_dst, los):
+                cols[dst].append(EncShort(s, lo, m - 1))
+            for dst, hi in zip(hi_dst, his):
+                if dst < nb_out:
+                    cols[dst].append(EncShort(s, hi, m - 2))  # (m-1)^2//m
+            return cols
         for dst, lo in zip(lo_dst, ctx._pbs_stack(packed, lo_t)):
             cols[dst].append(EncShort(s, lo, m - 1))
         hi_packed = [p for p, d in zip(packed, hi_dst) if d < nb_out]
@@ -549,9 +577,14 @@ class EncRadix:
         x = self.propagate()
         datas = [b.data for b in x.blocks]
         out: list[list[EncShort]] = [[] for _ in range(ctx.n_blocks)]
-        for t in range(s.msg_bits):
-            bit_t = [(v >> t) & 1 for v in range(s.space)]
-            for j, bit in enumerate(ctx._pbs_stack(datas, bit_t)):
+        tables = [[(v >> t) & 1 for v in range(s.space)]
+                  for t in range(s.msg_bits)]
+        if s.many_lut and s.msg_bits & (s.msg_bits - 1) == 0:
+            rows = ctx._pbs_stack_many(datas, tables)  # one rotation
+        else:
+            rows = [ctx._pbs_stack(datas, t) for t in tables]
+        for row in rows:
+            for j, bit in enumerate(row):
                 out[j].append(EncShort(s, bit, 1))
         return [b for blk in out for b in blk]
 

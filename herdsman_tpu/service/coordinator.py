@@ -222,9 +222,19 @@ class Coordinator:
             )
         return self._session_dsk[session_uuid]
 
+    def _mesh(self):
+        """Device mesh from workers.mesh config (batch_axis > 1 shards
+        plan rows over the herd; None = single device)."""
+        mw = self.config.mesh_workers
+        if mw is None or mw.batch_axis * mw.limb_axis <= 1:
+            return None
+        from herdsman_tpu.mesh import make_mesh
+        return make_mesh(batch=mw.batch_axis, limb=mw.limb_axis)
+
     def _run_job(self, job: JobDescriptor):
         dsk = self._device_key(job.session_uuid)
-        runner = StorageJobRunner(self.storage, dsk, engine=self._engine)
+        runner = StorageJobRunner(self.storage, dsk, engine=self._engine,
+                                  mesh=self._mesh())
         return runner(job)
 
     def schedule_job(self, token: str, session_uuid: str,

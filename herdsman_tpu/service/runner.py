@@ -32,10 +32,10 @@ log = logging.getLogger("herdsman.runner")
 
 class StorageJobRunner:
     def __init__(self, storage: StorageService, dsk: DeviceServerKey,
-                 engine: str = "conv_i8"):
+                 engine: str = "conv_i8", mesh=None):
         self._storage = storage
         self._dsk = dsk
-        self._compiler = PlanCompiler(dsk, engine=engine)
+        self._compiler = PlanCompiler(dsk, engine=engine, mesh=mesh)
 
     def _load_frame(self, session_uuid: str, frame_uuid: str) -> FrameData:
         entry = self._storage.get_data_frame(session_uuid, frame_uuid)

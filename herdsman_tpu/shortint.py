@@ -34,11 +34,18 @@ U32 = jnp.uint32
 class ShortContext:
     def __init__(self, params: TFHEParams, msg_bits: int = 2,
                  carry_bits: int = 2, engine: str = "conv_i8",
-                 seed: int = 0, keys=None, dsk=None):
+                 seed: int = 0, keys=None, dsk=None,
+                 many_lut: bool | None = None):
         self.params = params
         self.msg_bits = msg_bits
         self.carry_bits = carry_bits
         self.space_bits = msg_bits + carry_bits  # working precision
+        # many-LUT PBS: k LUTs per blind rotation where the rounding window
+        # stays safe (auto-on when N leaves >= 32 fine indices per message
+        # at k = 2; e.g. STD128_SHORTINT yes, TEST_PBS no)
+        if many_lut is None:
+            many_lut = pbs.many_lut_capacity(params, self.space_bits) >= 2
+        self.many_lut = many_lut
         # each slot needs enough blind-rotation indices to absorb the
         # mod-switch rounding noise (~sqrt(n)/2 indices): require >= 16
         assert 2 * params.N >= (1 << (self.space_bits + 1)) * 16, \
@@ -79,6 +86,16 @@ class ShortContext:
     def _pbs(self, data, table) -> jnp.ndarray:
         return pbs.pbs_batch(self.dsk, data, table, self.space_bits,
                              engine=self.engine)
+
+    def _pbs_many(self, data, tables) -> list[jnp.ndarray]:
+        """k LUTs over the same batch: ONE blind rotation when many-LUT is
+        enabled (k a power of two within capacity), else k rotations."""
+        k = len(tables)
+        if (self.many_lut and k > 1 and k & (k - 1) == 0
+                and k <= pbs.many_lut_capacity(self.params, self.space_bits)):
+            return pbs.pbs_many_batch(self.dsk, data, tables,
+                                      self.space_bits, engine=self.engine)
+        return [self._pbs(data, t) for t in tables]
 
 
 @dataclasses.dataclass

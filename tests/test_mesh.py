@@ -89,6 +89,53 @@ def test_sharded_dp_fast_engine_bit_identical(toy_keys):
     np.testing.assert_array_equal(sharded, single)
 
 
+def test_plan_compiler_on_mesh_bit_identical(toy_keys):
+    """BASELINE config 4: a multi-stage plan (map + reduce) executed with
+    rows sharded over the mesh batch axis produces byte-identical frames
+    to the single-device run."""
+    from herdsman_tpu.circuit import (CircuitBuilder, ColumnMeta, DataType,
+                                      ExecutionPlan, InputStage, MapperStage,
+                                      OutputStage, Policy, ReduceStage)
+    from herdsman_tpu.circuit.dag import DAG
+    from herdsman_tpu.compiler.stages import FrameData, PlanCompiler
+
+    ck, sk, rng = toy_keys
+    dsk = device_server_key(sk, layouts=("bsk_conv",))
+
+    cols = (ColumnMeta("a", DataType.UINT8),)
+    cb = CircuitBuilder(cols)
+    cb.output("x", ~cb.input_column("a"))
+    map_c = cb.build()
+    rb = CircuitBuilder((ColumnMeta("x", DataType.UINT8),) * 2)
+    rb.output("x", rb.input_column_at(0) ^ rb.input_column_at(1))
+    red_c = rb.build()
+
+    g = DAG()
+    i0 = g.emplace(InputStage("frame-0"))
+    m0 = g.emplace(MapperStage(map_c))
+    r0 = g.emplace(ReduceStage(red_c, Policy.SEQUENCED))
+    o0 = g.emplace(OutputStage("out"))
+    g.add_edge(i0, m0)
+    g.add_edge(m0, r0)
+    g.add_edge(r0, o0)
+    plan = ExecutionPlan(0, g)
+
+    rows = 8
+    vals = rng.integers(0, 256, rows)
+    bits = np.stack([
+        ref.encrypt_bool(ck, (vals >> t) & 1 == 1, rng) for t in range(8)
+    ], axis=1)
+    frames = {"frame-0": FrameData(cols, bits.astype(np.uint32), 2)}
+
+    single = PlanCompiler(dsk, engine="conv_i8").execute(plan, frames)
+    mesh = make_mesh(batch=8, limb=1)
+    sharded = PlanCompiler(dsk, engine="conv_i8", mesh=mesh).execute(
+        plan, frames)
+    for nid, frame in single.outputs.items():
+        np.testing.assert_array_equal(
+            np.asarray(frame.data), np.asarray(sharded.outputs[nid].data))
+
+
 # ---------------------------------------------------------------------------
 # multi-host helpers (single-process behavior on the virtual mesh)
 # ---------------------------------------------------------------------------

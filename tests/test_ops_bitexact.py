@@ -122,6 +122,20 @@ def test_sample_extract_bitexact(toy_keys):
         np.testing.assert_array_equal(got[i], ref.sample_extract(TOY, acc[i]))
 
 
+def test_sample_extract_offset_bitexact(toy_keys):
+    """Offset extraction (many-LUT PBS) matches the reference for every
+    coefficient position class (0, 1, middle, N-1)."""
+    ck, sk, rng = toy_keys
+    acc_np = rand_u32(rng, 2, TOY.k + 1, TOY.N)
+    for j in (0, 1, 7, TOY.N // 2, TOY.N - 1):
+        got = np.asarray(
+            bs.sample_extract_batch(TOY, jnp.asarray(acc_np), offset=j))
+        for i in range(2):
+            np.testing.assert_array_equal(
+                got[i], ref.sample_extract(TOY, acc_np[i], j),
+                err_msg=f"offset {j} elt {i}")
+
+
 def test_key_switch_bitexact(toy_keys, toy_device_key):
     _, sk, _ = toy_keys
     rng = np.random.default_rng(14)

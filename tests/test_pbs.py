@@ -49,6 +49,35 @@ def test_pbs_composes(pbs_setup):
     np.testing.assert_array_equal(got, (msgs + 2) % 4)
 
 
+def test_pbs_many_lut(pbs_setup):
+    """Two LUTs from ONE blind rotation (many-LUT PBS): both outputs
+    decode correctly and compose."""
+    ck, sk, dsk = pbs_setup
+    rng = np.random.default_rng(3000)
+    sq = [(m * m) % 4 for m in range(4)]
+    inc = [(m + 1) % 4 for m in range(4)]
+    msgs = rng.integers(0, 4, 16)
+    ct = jnp.asarray(
+        ref.lwe_encrypt_raw(ck, pbs.encode(TOY, msgs, 2), rng))
+    out_sq, out_inc = pbs.pbs_many_batch(dsk, ct, [sq, inc], 2)
+    for out, table in ((out_sq, sq), (out_inc, inc)):
+        phase = ref.lwe_phase(ck.lwe_key, np.asarray(out))
+        got = pbs.decode(TOY, phase, 2)
+        np.testing.assert_array_equal(got, [table[int(m)] for m in msgs])
+    # outputs compose into a further (single-LUT) PBS
+    out2 = pbs.pbs_batch(dsk, out_inc, inc, 2)
+    phase = ref.lwe_phase(ck.lwe_key, np.asarray(out2))
+    np.testing.assert_array_equal(pbs.decode(TOY, phase, 2), (msgs + 2) % 4)
+
+
+def test_many_lut_capacity():
+    from herdsman_tpu.core import PARAM_SETS, TEST_PBS
+    assert pbs.many_lut_capacity(TEST_PBS, 4) == 1       # N=256: too tight
+    assert pbs.many_lut_capacity(
+        PARAM_SETS["std128_shortint"], 4) == 4           # N=2048
+    assert pbs.many_lut_capacity(PARAM_SETS["std128_fast"], 4) == 2
+
+
 def test_pbs_with_real_noise(small_keys):
     """LUT bootstrap decodes correctly at TEST_SMALL's realistic noise."""
     ck, sk, rng = small_keys

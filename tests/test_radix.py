@@ -222,6 +222,33 @@ def test_arithmetic_right_shift(rctx):
             [x >> k for x in a_v], f">>s {k}"
 
 
+def test_many_lut_radix():
+    """Many-LUT PBS (lo+hi splits, digit products and bit layers from ONE
+    blind rotation each) is exact end-to-end. Needs N=1024 so the k=2
+    rounding window stays safe (TEST_PBS's N=256 auto-disables it)."""
+    import dataclasses
+
+    import numpy as np
+
+    from herdsman_tpu.core import reference as ref_mod
+
+    p = dataclasses.replace(TEST_PBS, name="test_pbs_many", N=1024)
+    rng = np.random.default_rng(7)
+    keys = ref_mod.keygen(p, rng)
+    short = ShortContext(p, msg_bits=2, carry_bits=2, keys=keys)
+    assert short.many_lut  # auto-enabled at N=1024
+    r4 = RadixContext(short, n_blocks=2)
+    a_v, b_v = [13, 7, 15, 0], [11, 6, 15, 3]
+    a, b = r4.encrypt(a_v), r4.encrypt(b_v)
+    assert r4.decrypt(a * b) == [(x * y) % 16 for x, y in zip(a_v, b_v)]
+    s = a + b + a  # forces _split-based carry propagation
+    assert r4.decrypt(s) == [(2 * x + y) % 16 for x, y in zip(a_v, b_v)]
+    bits = a.bits()
+    got = [r4.short.decrypt(bb) for bb in bits]
+    for bi, vals in enumerate(got):
+        assert vals == [(v >> bi) & 1 for v in a_v], f"bit {bi}"
+
+
 def test_overflowing_add_sub(rctx):
     a_v, b_v = [60, 1, 32, 63], [10, 2, 32, 63]
     a, b = rctx.encrypt(a_v), rctx.encrypt(b_v)
