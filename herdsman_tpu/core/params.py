@@ -206,7 +206,28 @@ STD128_SHORTINT = TFHEParams(
     security_bits=128,
 )
 
+# Throughput variant of the shortint set: Bg = 2^8, l = 2 (like STD128_FAST)
+# at N = 2048. The coarser gadget raises decomposition noise ~2 bits over
+# STD128_SHORTINT's ~45-sigma slot margin — still far above the failure
+# threshold (empirical margin measured by `bench.py --metric shortint`) —
+# while cutting external-product MACs and the block-Toeplitz key (9.7 GiB ->
+# 6.4 GiB, R = 6 -> 4) by a third.
+STD128_SHORTINT_FAST = TFHEParams(
+    name="std128_shortint_fast",
+    n=768,
+    lwe_std=float(2 ** 14),
+    N=2048,
+    k=1,
+    glwe_std=4.0,
+    bg_bits=8,
+    levels=2,
+    ks_base_bits=3,
+    ks_levels=5,
+    security_bits=128,
+)
+
 PARAM_SETS = {
     p.name: p
-    for p in (TOY, TEST_SMALL, TEST_PBS, STD128, STD128_FAST, STD128_SHORTINT)
+    for p in (TOY, TEST_SMALL, TEST_PBS, STD128, STD128_FAST,
+              STD128_SHORTINT, STD128_SHORTINT_FAST)
 }

@@ -164,12 +164,12 @@ def mega_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
 
 
 def _mega2_kernel(a_ref, acc0_ref, bt_ref, out_ref, acc_sc, *,
-                  p: TFHEParams, P: int, HALF: int, R: int):
-    """mega-v2: ONE grid cell per (batch-chunk, step) — rotation, all R
+                  p: TFHEParams, P: int, HALF: int, R: int, S: int = 1):
+    """mega-v2: ONE grid cell per (batch-chunk, S steps) — rotation, all R
     row contractions and the CMux accumulate inlined with no phase axis.
     5x fewer grid cells and no pl.when phase branching than the phased
-    mega kernel; the whole step's key block (R rows) is one BlockSpec
-    block, double-buffered across steps."""
+    mega kernel; each cell's key block (S steps x R rows) is one BlockSpec
+    block, double-buffered across cells."""
     from herdsman_tpu.ops.pallas.blind_rotate import _ep_column_total
 
     i = pl.program_id(1)
@@ -179,56 +179,59 @@ def _mega2_kernel(a_ref, acc0_ref, bt_ref, out_ref, acc_sc, *,
         for c in range(p.k + 1):
             acc_sc[c] = acc0_ref[:, c, :]
 
-    # ---- rotate + decompose (digits stay in registers) ----
-    r_amt = a_ref[0, 0, :].astype(U32)                # [Bt]
     W = p.bg_bits * p.levels
     Bg = 1 << p.bg_bits
     half = Bg >> 1
     offset = sum(half << (p.bg_bits * t) for t in range(p.levels))
-    digs: dict[tuple[int, int], jax.Array] = {}
-    for c in range(p.k + 1):
-        v = acc_sc[c]
-        rolled = v
-        for bit in range(p.log2_2N):
-            s = 1 << bit
-            shifted = (
-                _neg_shift(rolled, s, p.N) if s < p.N
-                else jnp.zeros_like(rolled) - rolled
-            )
-            take_bit = (r_amt >> U32(bit)) & U32(1)
-            mask = (U32(0) - take_bit)[:, None]
-            rolled = (shifted & mask) | (rolled & ~mask)
-        diff = rolled - v
-        val = ((diff + U32(1 << (32 - W - 1))) >> U32(32 - W)) + U32(offset)
-        for lev in range(p.levels):
-            shift = p.bg_bits * (p.levels - 1 - lev)
-            d8 = (((val >> U32(shift)) & U32(Bg - 1)).astype(I32)
-                  - I32(half)).astype(I8)
-            row = c * p.levels + lev
-            for sub in range(HALF):
-                digs[(row, sub)] = d8[:, sub * P:(sub + 1) * P]
-
-    # ---- external product over all R rows + CMux accumulate ----
     C4P = bt_ref.shape[-1]
-    for ct in range(HALF):
-        total = None
-        for r in range(R):
-            bt_flat = bt_ref[0, r].reshape(HALF * P, C4P)
-            t = _ep_column_total(
-                lambda sub, r=r: digs[(r, sub)], bt_flat, ct, P, HALF
-            )
-            total = t if total is None else total + t
-        a = total.reshape(total.shape[0], p.k + 1, 4, P).astype(U32)
+
+    for st in range(S):
+        # ---- rotate + decompose (digits stay in registers) ----
+        r_amt = a_ref[0, st, :].astype(U32)            # [Bt]
+        digs: dict[tuple[int, int], jax.Array] = {}
         for c in range(p.k + 1):
-            combined = (
-                a[:, c, 0, :]
-                + (a[:, c, 1, :] << U32(8))
-                + (a[:, c, 2, :] << U32(16))
-                + (a[:, c, 3, :] << U32(24))
-            )
-            acc_sc[c, :, ct * P:(ct + 1) * P] = (
-                acc_sc[c, :, ct * P:(ct + 1) * P] + combined
-            )
+            v = acc_sc[c]
+            rolled = v
+            for bit in range(p.log2_2N):
+                s = 1 << bit
+                shifted = (
+                    _neg_shift(rolled, s, p.N) if s < p.N
+                    else jnp.zeros_like(rolled) - rolled
+                )
+                take_bit = (r_amt >> U32(bit)) & U32(1)
+                mask = (U32(0) - take_bit)[:, None]
+                rolled = (shifted & mask) | (rolled & ~mask)
+            diff = rolled - v
+            val = ((diff + U32(1 << (32 - W - 1))) >> U32(32 - W)) \
+                + U32(offset)
+            for lev in range(p.levels):
+                shift = p.bg_bits * (p.levels - 1 - lev)
+                d8 = (((val >> U32(shift)) & U32(Bg - 1)).astype(I32)
+                      - I32(half)).astype(I8)
+                row = c * p.levels + lev
+                for sub in range(HALF):
+                    digs[(row, sub)] = d8[:, sub * P:(sub + 1) * P]
+
+        # ---- external product over all R rows + CMux accumulate ----
+        for ct in range(HALF):
+            total = None
+            for r in range(R):
+                bt_flat = bt_ref[0, st, r].reshape(HALF * P, C4P)
+                t = _ep_column_total(
+                    lambda sub, r=r: digs[(r, sub)], bt_flat, ct, P, HALF
+                )
+                total = t if total is None else total + t
+            a = total.reshape(total.shape[0], p.k + 1, 4, P).astype(U32)
+            for c in range(p.k + 1):
+                combined = (
+                    a[:, c, 0, :]
+                    + (a[:, c, 1, :] << U32(8))
+                    + (a[:, c, 2, :] << U32(16))
+                    + (a[:, c, 3, :] << U32(24))
+                )
+                acc_sc[c, :, ct * P:(ct + 1) * P] = (
+                    acc_sc[c, :, ct * P:(ct + 1) * P] + combined
+                )
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _():
@@ -252,6 +255,9 @@ def mega2_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
     assert B % Bt == 0, "pad batch to a multiple of 128 first"
     BC = B // Bt
     C4P = (p.k + 1) * 4 * P
+    S = int(os.environ.get("HERDSMAN_MEGA_STEPS", "1"))
+    if p.n % S:
+        S = 1
 
     kwargs = {}
     if jax.default_backend() == "tpu":
@@ -259,16 +265,16 @@ def mega2_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
             vmem_limit_bytes=64 * 1024 * 1024,
         )
     return pl.pallas_call(
-        functools.partial(_mega2_kernel, p=p, P=P, HALF=HALF, R=R),
-        grid=(BC, p.n),
+        functools.partial(_mega2_kernel, p=p, P=P, HALF=HALF, R=R, S=S),
+        grid=(BC, p.n // S),
         in_specs=[
-            pl.BlockSpec((1, 1, Bt), lambda bc, i: (i, 0, bc),
+            pl.BlockSpec((1, S, Bt), lambda bc, i: (i, 0, bc),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Bt, p.k + 1, p.N), lambda bc, i: (bc, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, R, HALF, P, C4P),
-                lambda bc, i: (i, 0, 0, 0, 0),
+                (1, S, R, HALF, P, C4P),
+                lambda bc, i: (i, 0, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -280,7 +286,8 @@ def mega2_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
         ],
         interpret=jax.default_backend() != "tpu",
         **kwargs,
-    )(a_t.reshape(p.n, 1, B), acc0, bsk_bt)
+    )(a_t.reshape(p.n // S, S, B), acc0,
+      bsk_bt.reshape((p.n // S, S) + bsk_bt.shape[1:]))
 
 
 def _register() -> None:
