@@ -261,8 +261,11 @@ def mega2_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
 
     kwargs = {}
     if jax.default_backend() == "tpu":
+        # the double-buffered key block + per-row bt_flat copies scale with
+        # N (~60 MB per cell at N=2048); v5e has 128 MB VMEM
+        lim = 100 if p.N >= 2048 or S > 1 else 64
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=lim * 1024 * 1024,
         )
     return pl.pallas_call(
         functools.partial(_mega2_kernel, p=p, P=P, HALF=HALF, R=R, S=S),

@@ -13,6 +13,8 @@ The LUT output uses the same encoding, so PBS outputs compose.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -74,12 +76,33 @@ def decode(params: TFHEParams, phase: np.ndarray, msg_bits: int) -> np.ndarray:
         np.int64) % (1 << msg_bits)
 
 
+@functools.lru_cache(maxsize=None)
+def _pbs_exec(engine: str, k: int):
+    """Jitted whole-PBS pipeline for k interleaved LUTs: one compiled
+    program per (engine, k, shape) instead of dozens of eager dispatches —
+    the LUT content (`tv`) is a runtime argument, so changing tables never
+    retraces."""
+    coarse = k.bit_length() - 1
+
+    def fn(dsk, ct, tv):
+        acc = bs.blind_rotate_batch(dsk, ct, tv, engine=engine,
+                                    coarse_bits=coarse)
+        raws = [bs.sample_extract_batch(dsk.params, acc, offset=j)
+                for j in range(k)]
+        return bs.key_switch_batch(dsk, jnp.concatenate(raws, axis=0))
+
+    return jax.jit(fn)
+
+
 def pbs_batch(dsk: DeviceServerKey, ct: jax.Array, table,
               msg_bits: int, engine: str = "conv_i8",
               unroll: bool = False) -> jax.Array:
     """Apply f (the LUT) under encryption with noise refresh:
     [B, n+1] -> [B, n+1], messages in [0, 2^msg_bits)."""
     tv = lut_test_poly(dsk.params, table, msg_bits)
+    if not unroll:
+        return _pbs_exec(engine, 1)(dsk, ct, tv)
+    # unroll: eager pipeline for interpret-mode pallas on CPU (no jit/scan)
     acc = bs.blind_rotate_batch(dsk, ct, tv, engine=engine, unroll=unroll)
     raw = bs.sample_extract_batch(dsk.params, acc)
     return bs.key_switch_batch(dsk, raw)
@@ -147,9 +170,12 @@ def pbs_many_batch(dsk: DeviceServerKey, ct: jax.Array, tables,
     coarse = k.bit_length() - 1
     assert (1 << coarse) == k, "LUT count must be a power of two"
     tv = lut_test_poly_many(p, tables, msg_bits)
-    acc = bs.blind_rotate_batch(dsk, ct, tv, engine=engine, unroll=unroll,
-                                coarse_bits=coarse)
-    raws = [bs.sample_extract_batch(p, acc, offset=j) for j in range(k)]
     B = ct.shape[0]
-    out = bs.key_switch_batch(dsk, jnp.concatenate(raws, axis=0))
+    if not unroll:
+        out = _pbs_exec(engine, k)(dsk, ct, tv)
+    else:
+        acc = bs.blind_rotate_batch(dsk, ct, tv, engine=engine,
+                                    unroll=unroll, coarse_bits=coarse)
+        raws = [bs.sample_extract_batch(p, acc, offset=j) for j in range(k)]
+        out = bs.key_switch_batch(dsk, jnp.concatenate(raws, axis=0))
     return [out[j * B:(j + 1) * B] for j in range(k)]
