@@ -362,14 +362,22 @@ def sample_extract(params: TFHEParams, glwe: np.ndarray,
 
 
 def key_switch(sk: ServerKey, ct: np.ndarray) -> np.ndarray:
-    """Switch an extracted [kN+1] LWE ct down to the n-LWE key: [n+1]."""
+    """Switch an extracted [kN+1] LWE ct down to the n-LWE key: [n+1].
+
+    BALANCED signed digits (same gadget as the external product): with a
+    fixed KSK, the key-switch error is sum_{j,t} d_{j,t} * e_{j,t} over
+    ~kN*t fixed noise samples — unsigned digits (E[d] = B/2 - 0.5,
+    E[d^2] ~ B^2/3) amplify the KSK noise sample-mean into a systematic
+    output bias (~1.3e-3 q measured at STD128_SHORTINT) and triple the
+    variance vs balanced digits (E[d] = -0.5, E[d^2] = B^2/12)."""
     p = sk.params
     a, b = ct[:-1], ct[-1]
-    digits = unsigned_decompose(a, p.ks_base_bits, p.ks_levels)  # [kN, t]
+    digits = signed_decompose(a, p.ks_base_bits, p.ks_levels)  # [kN, t]
     out = np.zeros(p.n + 1, dtype=U32)
     out[p.n] = b
-    # out -= sum_{j,t} d_{j,t} * KSK[j,t]
-    contrib = (digits.astype(U32)[..., None] * sk.ksk).sum(axis=(0, 1), dtype=U32)
+    # out -= sum_{j,t} d_{j,t} * KSK[j,t]  (signed d: wraparound exact)
+    contrib = (digits.astype(U32)[..., None] * sk.ksk).sum(
+        axis=(0, 1), dtype=U32)
     return out - contrib
 
 

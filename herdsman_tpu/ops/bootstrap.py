@@ -204,12 +204,14 @@ def key_switch_batch(dsk: DeviceServerKey, ct: jax.Array) -> jax.Array:
     """Switch extracted LWEs to the n-key: [B, kN+1] u32 -> [B, n+1] u32.
 
     One int8 MXU matmul: digits [B, kN*t] x ksk_limbs [kN*t, (n+1)*4].
+    BALANCED signed digits (see core.reference.key_switch): kills the
+    KSK-noise sample-mean bias and cuts the KS variance ~3x vs unsigned.
     """
     p = dsk.params
     B = ct.shape[0]
     a = ct[:, : p.kN]
     b = ct[:, p.kN]
-    digits = unsigned_decompose(a, p.ks_base_bits, p.ks_levels)  # [B, kN, t]
+    digits = signed_decompose(a, p.ks_base_bits, p.ks_levels)  # [B, kN, t]
     d8 = digits.reshape(B, p.kN * p.ks_levels).astype(I8)
     partial = jnp.dot(d8, dsk.ksk_limbs, preferred_element_type=I32)
     partial = partial.reshape(B, p.n + 1, 4)
