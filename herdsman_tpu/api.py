@@ -164,7 +164,8 @@ class EncUint:
     def __invert__(self):
         return EncUint(self.ctx, gates.gate_not(self.data), self.width)
 
-    def _ripple(self, other: "EncUint", subtract: bool) -> "EncUint":
+    def _ripple(self, other: "EncUint", subtract: bool,
+                want_carry: bool = False):
         ctx = self.ctx
         y = (~other).data if subtract else other.data
         carry = ctx._const_bit(self.batch, subtract)
@@ -176,11 +177,14 @@ class EncUint:
             out_bits.append(
                 ctx._gate("XOR", s[:, None, :], carry[:, None, :])[:, 0, :]
             )
-            if i + 1 < self.width:
+            if i + 1 < self.width or want_carry:
                 xy = ctx._gate("AND", x[:, None, :], yb[:, None, :])[:, 0, :]
                 sc = ctx._gate("AND", s[:, None, :], carry[:, None, :])[:, 0, :]
                 carry = ctx._gate("OR", xy[:, None, :], sc[:, None, :])[:, 0, :]
-        return EncUint(ctx, jnp.stack(out_bits, axis=1), self.width)
+        word = EncUint(ctx, jnp.stack(out_bits, axis=1), self.width)
+        if want_carry:
+            return word, EncBit(ctx, carry)
+        return word
 
     def __add__(self, o: "EncUint") -> "EncUint":
         return self._ripple(o, subtract=False)
@@ -395,3 +399,79 @@ class EncUint:
 
     def __mod__(self, o: "EncUint") -> "EncUint":
         return self.divmod(o)[1]
+
+    def divmod_signed(self, o: "EncUint") -> tuple["EncUint", "EncUint"]:
+        """Signed division, C semantics (quotient truncates toward zero,
+        remainder takes the dividend's sign) — mirrors Word.divmod_signed."""
+        ctx = self.ctx
+        sa = EncBit(ctx, self._bit(self.width - 1))
+        sb = EncBit(ctx, o._bit(self.width - 1))
+        q, r = self.abs_signed().divmod(o.abs_signed())
+        sq = sa ^ sb
+        return sq.mux(q.neg(), q), sa.mux(r.neg(), r)
+
+    def zero_extend(self, width: int) -> "EncUint":
+        assert width >= self.width
+        data = jnp.concatenate(
+            [self.data, self._const_bits(width - self.width)], axis=1
+        )
+        return EncUint(self.ctx, data, width)
+
+    def mul_full(self, o: "EncUint") -> "EncUint":
+        """Full double-width product (no truncation): returns a 2w EncUint."""
+        assert self.width == o.width
+        w2 = 2 * self.width
+        return self.zero_extend(w2) * o.zero_extend(w2)
+
+    def add_with_carry(self, o: "EncUint") -> tuple["EncUint", EncBit]:
+        """(sum mod 2^w, carry-out)."""
+        return self._ripple(o, subtract=False, want_carry=True)
+
+    def overflowing_add(self, o: "EncUint") -> tuple["EncUint", EncBit]:
+        """(sum mod 2^w, unsigned overflow flag) — tfhe-rs analog."""
+        return self.add_with_carry(o)
+
+    def overflowing_sub(self, o: "EncUint") -> tuple["EncUint", EncBit]:
+        """(difference mod 2^w, borrow flag: 1 iff self < o)."""
+        return self - o, self.lt(o)
+
+    def shift_right_arith_enc(self, amount: "EncUint") -> "EncUint":
+        """Arithmetic right shift by an ENCRYPTED amount (sign fills;
+        amounts >= width saturate to all-sign)."""
+        ctx = self.ctx
+        w = self.width
+        cur = self
+        for j in range(amount.width):
+            sel = EncBit(ctx, amount._bit(j))
+            k = 1 << j
+            if k >= w:
+                sign = cur.data[:, w - 1: w, :]
+                shifted = EncUint(
+                    ctx, jnp.broadcast_to(
+                        sign, (cur.batch, w, cur.data.shape[-1])), w)
+            else:
+                shifted = cur.shift_right_arith(k)
+            cur = sel.mux(shifted, cur)
+        return cur
+
+    def rotl_enc(self, amount: "EncUint") -> "EncUint":
+        """Rotate left by an ENCRYPTED amount (taken mod width)."""
+        cur = self
+        for j in range(amount.width):
+            k = (1 << j) % self.width
+            if not k:
+                continue
+            sel = EncBit(self.ctx, amount._bit(j))
+            cur = sel.mux(cur.rotl(k), cur)
+        return cur
+
+    def rotr_enc(self, amount: "EncUint") -> "EncUint":
+        """Rotate right by an ENCRYPTED amount (taken mod width)."""
+        cur = self
+        for j in range(amount.width):
+            k = (1 << j) % self.width
+            if not k:
+                continue
+            sel = EncBit(self.ctx, amount._bit(j))
+            cur = sel.mux(cur.rotr(k), cur)
+        return cur

@@ -106,3 +106,49 @@ def test_divmod(ctx):
     assert ctx.decrypt(r) == [1, 3, 7, 9]
     assert ctx.decrypt(a // b) == [4, 3, 0, 15]
     assert ctx.decrypt(a % b) == [1, 3, 7, 9]
+
+
+def test_divmod_signed(ctx):
+    # values as 4-bit two's complement: -7, 7, -6, 5
+    a = ctx.encrypt([(-7) % 16, 7, (-6) % 16, 5], width=4)
+    b = ctx.encrypt([3, (-3) % 16, (-2) % 16, 0], width=4)
+    q, r = a.divmod_signed(b)
+    def s4(v):  # decode 4-bit two's complement
+        return v - 16 if v >= 8 else v
+    got_q = [s4(v) for v in ctx.decrypt(q)]
+    got_r = [s4(v) for v in ctx.decrypt(r)]
+    # C semantics: trunc toward zero, remainder takes dividend's sign
+    assert got_q[:3] == [-2, -2, 3]
+    assert got_r[:3] == [-1, 1, 0]
+    # div by zero: |q| = 15 (all ones) negated by sign(a)^sign(b)=0 -> -1
+    assert got_q[3] == -1 and got_r[3] == 5
+
+
+def test_mul_full_and_zero_extend(ctx):
+    a = ctx.encrypt([13, 15, 9], width=4)
+    b = ctx.encrypt([11, 15, 0], width=4)
+    assert ctx.decrypt(a.mul_full(b)) == [143, 225, 0]
+    assert ctx.decrypt(a.zero_extend(6)) == [13, 15, 9]
+
+
+def test_overflow_flags(ctx):
+    a = ctx.encrypt([200, 55, 3], width=8)
+    b = ctx.encrypt([100, 200, 5], width=8)
+    s, c = a.overflowing_add(b)
+    assert ctx.decrypt(s) == [44, 255, 8]
+    assert ctx.decrypt(c) == [True, False, False]
+    d, br = a.overflowing_sub(b)
+    assert ctx.decrypt(d) == [100, (55 - 200) % 256, (3 - 5) % 256]
+    assert ctx.decrypt(br) == [False, True, True]
+
+
+def test_enc_amount_arith_shift_and_rotates(ctx):
+    a = ctx.encrypt([0b1011, 0b0110, 0b1000], width=4)
+    k = ctx.encrypt([1, 2, 5], width=3)
+    # arithmetic shift: sign fills; amount 5 >= width saturates to all-sign
+    assert ctx.decrypt(a.shift_right_arith_enc(k)) == [
+        0b1101, 0b0001, 0b1111]
+    assert ctx.decrypt(a.rotl_enc(k)) == [
+        0b0111, 0b1001, 0b0001]  # rot amounts mod 4: 1, 2, 1
+    assert ctx.decrypt(a.rotr_enc(k)) == [
+        0b1101, 0b1001, 0b0100]
