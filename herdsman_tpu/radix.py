@@ -588,6 +588,83 @@ class EncRadix:
                 out[j].append(EncShort(s, bit, 1))
         return [b for blk in out for b in blk]
 
+    # ---- bit counting (tfhe-rs integer analogs) ----
+
+    def count_ones(self) -> "EncRadix":
+        """Population count: ONE batched popcount LUT over all blocks, then
+        carry-save accumulation into a radix value."""
+        ctx = self.ctx
+        s = ctx.short
+        x = self.propagate()
+        pop_t = [bin(t % s.modulus).count("1") for t in range(s.space)]
+        pops = ctx._pbs_stack([b.data for b in x.blocks], pop_t)
+        cols: list[list[EncShort]] = [[] for _ in range(ctx.n_blocks)]
+        cols[0] = [EncShort(s, v, s.msg_bits) for v in pops]
+        return ctx._accumulate_columns(cols, self.blocks[0].data)
+
+    def count_zeros(self) -> "EncRadix":
+        """W - popcount (bitwise NOT is free, so this costs the same)."""
+        return (~self).count_ones()
+
+    def _directional_zeros(self, from_msb: bool) -> "EncRadix":
+        """Shared core of leading/trailing_zeros. Per block, one (many-)LUT
+        layer yields the in-block count and a nonzero indicator; the
+        "all blocks before me (in scan order) are zero" gate is a FREE
+        indicator sum + one batched is-zero LUT (no sequential prefix-AND
+        chain); a final batched select LUT masks each block's count.
+        Three LUT layers total, independent of block count."""
+        ctx = self.ctx
+        s = ctx.short
+        m = s.modulus
+        assert ctx.n_blocks <= m, \
+            "indicator-sum gate needs n_blocks <= carry space"
+        x = self.propagate()
+        datas = [b.data for b in x.blocks]
+        if from_msb:
+            cnt_t = [s.msg_bits - (t % m).bit_length() for t in range(s.space)]
+        else:
+            cnt_t = [s.msg_bits if (t % m) == 0
+                     else ((t % m) & -(t % m)).bit_length() - 1
+                     for t in range(s.space)]
+        nz_t = [1 if (t % m) else 0 for t in range(s.space)]
+        if s.many_lut:
+            cnts, nzs = ctx._pbs_stack_many(datas, [cnt_t, nz_t])
+        else:
+            cnts = ctx._pbs_stack(datas, cnt_t)
+            nzs = ctx._pbs_stack(datas, nz_t)
+        order = list(reversed(range(ctx.n_blocks))) if from_msb \
+            else list(range(ctx.n_blocks))
+        # S_j = number of nonzero blocks scanned before block j (free adds)
+        gate_src, run = [], None
+        for j in order[:-1]:
+            run = nzs[j] if run is None else run + nzs[j]
+            gate_src.append(run)
+        is0_t = [1 if t == 0 else 0 for t in range(s.space)]
+        gates_ = ctx._pbs_stack(gate_src, is0_t)  # p = all-prior-zero flag
+        sel_t = [(t & (m - 1)) if (t >> s.msg_bits) == 1 else 0
+                 for t in range(s.space)]
+        packed = [g * U32(m) + cnts[j] for g, j in zip(gates_, order[1:])]
+        masked = ctx._pbs_stack(packed, sel_t)
+        terms = [EncShort(s, cnts[order[0]], s.msg_bits)] + [
+            EncShort(s, v, s.msg_bits) for v in masked
+        ]
+        cols: list[list[EncShort]] = [[] for _ in range(ctx.n_blocks)]
+        cols[0] = terms
+        return ctx._accumulate_columns(cols, self.blocks[0].data)
+
+    def leading_zeros(self) -> "EncRadix":
+        """Count of leading (MSB-side) zero bits; W for the zero value."""
+        return self._directional_zeros(from_msb=True)
+
+    def trailing_zeros(self) -> "EncRadix":
+        """Count of trailing (LSB-side) zero bits; W for the zero value."""
+        return self._directional_zeros(from_msb=False)
+
+    def ilog2(self) -> "EncRadix":
+        """floor(log2(x)) = W - 1 - leading_zeros(x). For x = 0 the result
+        wraps to 2^W - 1 (tfhe-rs leaves ilog2(0) unspecified)."""
+        return (-self.leading_zeros()).scalar_add(self.ctx.width - 1)
+
     def _mask_by_flag(self, flag: EncShort) -> "EncRadix":
         """Blockwise value * flag (flag holds 0/1): one batched bootstrap."""
         ctx = self.ctx

@@ -258,3 +258,28 @@ def test_overflowing_add_sub(rctx):
     d, borrow = a.overflowing_sub(b)
     assert rctx.decrypt(d) == [(x - y) % MOD for x, y in zip(a_v, b_v)]
     assert rctx.decrypt_flag(borrow) == [x < y for x, y in zip(a_v, b_v)]
+
+
+def test_count_ones_zeros(rctx):
+    vals = [0, 1, 0b101101, 63]
+    a = rctx.encrypt(vals)
+    assert rctx.decrypt(a.count_ones()) == [bin(v).count("1") for v in vals]
+    assert rctx.decrypt(a.count_zeros()) == [
+        6 - bin(v).count("1") for v in vals]
+
+
+def test_leading_trailing_zeros(rctx):
+    vals = [0, 1, 0b000100, 0b101000, 63]
+    a = rctx.encrypt(vals)
+    def lz(v):
+        return 6 if v == 0 else 6 - v.bit_length()
+    def tz(v):
+        return 6 if v == 0 else (v & -v).bit_length() - 1
+    assert rctx.decrypt(a.leading_zeros()) == [lz(v) for v in vals]
+    assert rctx.decrypt(a.trailing_zeros()) == [tz(v) for v in vals]
+
+
+def test_ilog2(rctx):
+    vals = [1, 2, 3, 17, 63]
+    a = rctx.encrypt(vals)
+    assert rctx.decrypt(a.ilog2()) == [v.bit_length() - 1 for v in vals]
