@@ -64,7 +64,8 @@ def get_dsk(args, sk):
 
     if args.engine.startswith("pallas"):
         t0 = time.time()
-        dsk = device_server_key(sk, layouts=("bsk_bt",))
+        bt = "bsk_btj" if args.engine == "pallas_mega3" else "bsk_bt"
+        dsk = device_server_key(sk, layouts=(bt,))
         log(f"BT layout prep (on device): {time.time() - t0:.1f}s")
         return dsk
     layout = {"conv_i8": ("bsk_conv",), "gather_u32": ("bsk_ext",)}.get(

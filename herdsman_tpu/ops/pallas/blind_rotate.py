@@ -93,6 +93,39 @@ def _ep_column_total(d_rows, bt_flat, ct: int, P: int, HALF: int):
     return total
 
 
+def _ep_column_total_jmajor(d_rows, btj_flat, ct: int, P: int, HALF: int,
+                            R: int):
+    """External product for column tile ct over ALL R GGSW rows in TWO MXU
+    dots.  Requires the j-MAJOR key layout (server_key ``bsk_btj``): stored
+    diagonal block j holds all R row-polys contiguously, so the positive
+    (j <= ct) and negative (j > ct) runs cover rows [0, (ct+1)*R*P) and
+    [(ct+1)*R*P, HALF*R*P) of btj_flat.  The per-row partials accumulate
+    INSIDE the systolic array (K up to R*N) instead of as R-1 [Bt, C4P]
+    i32 VPU adds — the measured floor of the r-major mega2 kernel
+    (scripts/mega_variants.py: mxu_only 28.5 us/step/chunk vs 10.9 ideal).
+
+    d_rows: callable (r, sub) -> [Bt, P] i8 digit chunk.
+    btj_flat: [HALF*R*P, C4P] i8, j-major / r-minor.
+    Pairing (see _ep_column_total): block j x digit sub = ct - j for
+    j <= ct, sub = HALF + ct - j negated for j > ct; same for every r.
+    """
+    pos = jnp.concatenate(
+        [d_rows(r, ct - j) for j in range(ct + 1) for r in range(R)],
+        axis=-1,
+    )
+    total = jnp.dot(pos, btj_flat[: (ct + 1) * R * P],
+                    preferred_element_type=I32)
+    if ct + 1 < HALF:
+        neg = jnp.concatenate(
+            [d_rows(r, HALF + ct - j)
+             for j in range(ct + 1, HALF) for r in range(R)],
+            axis=-1,
+        )
+        total = total - jnp.dot(neg, btj_flat[(ct + 1) * R * P:],
+                                preferred_element_type=I32)
+    return total
+
+
 def _kernel(d_ref, bt_ref, out_ref, acc_ref, *, P: int, HALF: int,
             R: int, kp1: int, fused: bool, glwe_ref=None):
     """Grid (bc, r): one cell processes ALL column tiles of GGSW row-poly r

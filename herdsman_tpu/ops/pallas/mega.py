@@ -293,12 +293,142 @@ def mega2_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
       bsk_bt.reshape((p.n // S, S) + bsk_bt.shape[1:]))
 
 
+def _mega3_kernel(a_ref, acc0_ref, btj_ref, out_ref, acc_sc, *,
+                  p: TFHEParams, P: int, HALF: int, R: int, S: int = 1):
+    """mega-v3: mega2's one-cell-per-step structure with two VPU cuts
+    measured by scripts/mega_variants.py:
+
+    - j-major key blocks (``bsk_btj``): each column tile is TWO MXU dots
+      over ALL R GGSW rows (K up to R*N, accumulation inside the MXU) —
+      removes the (R-1) x HALF [Bt, C4P] i32 add passes per step that were
+      part of mega2's measured 28.5 us/step/chunk MXU-floor (ideal 10.9).
+    - rotation select via jnp.where/vsel (the fastest variant measured:
+      sel2 198.8 ms vs full's and/andn/or masking).
+    """
+    from herdsman_tpu.ops.pallas.blind_rotate import _ep_column_total_jmajor
+
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        for c in range(p.k + 1):
+            acc_sc[c] = acc0_ref[:, c, :]
+
+    W = p.bg_bits * p.levels
+    Bg = 1 << p.bg_bits
+    half = Bg >> 1
+    offset = sum(half << (p.bg_bits * t) for t in range(p.levels))
+    C4P = btj_ref.shape[-1]
+
+    for st in range(S):
+        r_amt = a_ref[0, st, :].astype(U32)            # [Bt]
+        digs: dict[tuple[int, int], jax.Array] = {}
+        for c in range(p.k + 1):
+            v = acc_sc[c]
+            rolled = v
+            for bit in range(p.log2_2N):
+                s = 1 << bit
+                shifted = (
+                    _neg_shift(rolled, s, p.N) if s < p.N
+                    else jnp.zeros_like(rolled) - rolled
+                )
+                take_bit = (r_amt >> U32(bit)) & U32(1)
+                mask = (U32(0) - take_bit)[:, None]
+                rolled = jnp.where(
+                    jnp.broadcast_to(mask, rolled.shape) != U32(0),
+                    shifted, rolled)
+            diff = rolled - v
+            val = ((diff + U32(1 << (32 - W - 1))) >> U32(32 - W)) \
+                + U32(offset)
+            for lev in range(p.levels):
+                shift = p.bg_bits * (p.levels - 1 - lev)
+                d8 = (((val >> U32(shift)) & U32(Bg - 1)).astype(I32)
+                      - I32(half)).astype(I8)
+                row = c * p.levels + lev
+                for sub in range(HALF):
+                    digs[(row, sub)] = d8[:, sub * P:(sub + 1) * P]
+
+        btj_flat = btj_ref[0, st].reshape(HALF * R * P, C4P)
+        for ct in range(HALF):
+            total = _ep_column_total_jmajor(
+                lambda r, sub: digs[(r, sub)], btj_flat, ct, P, HALF, R
+            )
+            a = total.reshape(total.shape[0], p.k + 1, 4, P).astype(U32)
+            for c in range(p.k + 1):
+                combined = (
+                    a[:, c, 0, :]
+                    + (a[:, c, 1, :] << U32(8))
+                    + (a[:, c, 2, :] << U32(16))
+                    + (a[:, c, 3, :] << U32(24))
+                )
+                acc_sc[c, :, ct * P:(ct + 1) * P] = (
+                    acc_sc[c, :, ct * P:(ct + 1) * P] + combined
+                )
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        for c in range(p.k + 1):
+            out_ref[:, c, :] = acc_sc[c]
+
+
+def mega3_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
+                       bsk_btj: jax.Array) -> jax.Array:
+    """Same contract as mega2_blind_rotate but consuming the j-major key
+    layout (``bsk_btj`` [n, HALF, R, P, C4P])."""
+    import os
+    p = params
+    P, HALF = bt_tile(p)
+    R = (p.k + 1) * p.levels
+    B = acc0.shape[0]
+    bt_env = int(os.environ.get("HERDSMAN_MEGA_BT", "128"))
+    Bt = B if B <= bt_env else (bt_env if B % bt_env == 0 else 128)
+    assert B % Bt == 0, "pad batch to a multiple of 128 first"
+    BC = B // Bt
+    C4P = (p.k + 1) * 4 * P
+    S = int(os.environ.get("HERDSMAN_MEGA_STEPS", "1"))
+    if p.n % S:
+        S = 1
+
+    kwargs = {}
+    if jax.default_backend() == "tpu":
+        lim = 100 if p.N >= 2048 or S > 1 else 64
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=lim * 1024 * 1024,
+        )
+    return pl.pallas_call(
+        functools.partial(_mega3_kernel, p=p, P=P, HALF=HALF, R=R, S=S),
+        grid=(BC, p.n // S),
+        in_specs=[
+            pl.BlockSpec((1, S, Bt), lambda bc, i: (i, 0, bc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, p.k + 1, p.N), lambda bc, i: (bc, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, S, HALF, R, P, C4P),
+                lambda bc, i: (i, 0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((Bt, p.k + 1, p.N), lambda bc, i: (bc, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, p.k + 1, p.N), U32),
+        scratch_shapes=[
+            pltpu.VMEM((p.k + 1, Bt, p.N), U32),          # acc
+        ],
+        interpret=jax.default_backend() != "tpu",
+        **kwargs,
+    )(a_t.reshape(p.n // S, S, B), acc0,
+      bsk_btj.reshape((p.n // S, S) + bsk_btj.shape[1:]))
+
+
 def _register() -> None:
     bs.ROTATION_ENGINES = getattr(bs, "ROTATION_ENGINES", {})
     bs.ROTATION_ENGINES.setdefault("pallas_mega",
                                    (mega_blind_rotate, "bsk_bt"))
     bs.ROTATION_ENGINES.setdefault("pallas_mega2",
                                    (mega2_blind_rotate, "bsk_bt"))
+    bs.ROTATION_ENGINES.setdefault("pallas_mega3",
+                                   (mega3_blind_rotate, "bsk_btj"))
 
 
 _register()

@@ -25,6 +25,13 @@ upload time into the forms the device engines consume:
     of block m, so only HALF = N/P diagonal blocks are stored per poly and
     the kernel subtracts instead of adds when m >= N/P.  Storage:
     n * R * (k+1) * 4 * N * P bytes (~4.8 GiB for STD128).
+- ``bsk_btj``   i8  [n, HALF, R, P, (k+1)*4*P]
+    The same blocks with the stored-diagonal index j MAJOR and the GGSW
+    row r minor.  With j-major rows, the positive (j <= ct) and negative
+    (j > ct) runs of a column tile stay contiguous ACROSS all R rows, so
+    the whole external product for one column tile is TWO MXU dots with
+    K up to R*N — the per-row partial sums accumulate inside the systolic
+    array instead of as R-1 [Bt, C4P] i32 VPU adds (pallas_mega3).
 """
 
 from __future__ import annotations
@@ -62,6 +69,7 @@ class DeviceServerKey:
     bsk_bt: Any        # i8  [n, R, HALF, P, (k+1)*4*P] block-Toeplitz (below)
     ksk_limbs: Any     # i8  [kN*ks_levels, (n+1)*4]
     ksk: Any           # u32 [kN, ks_levels, n+1] (fallback engine)
+    bsk_btj: Any = None  # i8 [n, HALF, R, P, (k+1)*4*P] j-major BT (mega3)
 
     @property
     def R(self) -> int:
@@ -100,6 +108,14 @@ def device_server_key(
     if "bsk_bt" in layouts:
         bsk_bt = _block_toeplitz_layout_device(p, ext)
 
+    bsk_btj = None
+    if "bsk_btj" in layouts:
+        if bsk_bt is not None:
+            bsk_btj = jax.jit(
+                lambda x: jnp.transpose(x, (0, 2, 1, 3, 4)))(bsk_bt)
+        else:
+            bsk_btj = _block_toeplitz_layout_device(p, ext, j_major=True)
+
     ksk = sk.ksk  # [kN, t, n+1] u32
     ksk_limbs = _np_i8_limbs(ksk).reshape(p.kN * p.ks_levels, (p.n + 1) * 4)
 
@@ -110,6 +126,7 @@ def device_server_key(
         bsk_bt=bsk_bt,
         ksk_limbs=jnp.asarray(ksk_limbs),
         ksk=jnp.asarray(ksk) if "ksk" in layouts else None,
+        bsk_btj=bsk_btj,
     )
 
 
@@ -145,7 +162,8 @@ def _block_toeplitz_layout(p: TFHEParams, ext: np.ndarray) -> np.ndarray:
     return out
 
 
-def _block_toeplitz_layout_device(p: TFHEParams, ext: np.ndarray) -> jax.Array:
+def _block_toeplitz_layout_device(p: TFHEParams, ext: np.ndarray,
+                                  j_major: bool = False) -> jax.Array:
     """`_block_toeplitz_layout` computed ON DEVICE: ships only ext
     (n*R*(k+1)*2N u32, ~50 MB at STD128_FAST) and expands with a jitted
     per-step gather + limb split (`lax.map` over the n steps), writing the
@@ -167,6 +185,9 @@ def _block_toeplitz_layout_device(p: TFHEParams, ext: np.ndarray) -> jax.Array:
         u = blocks + jnp.uint32(0x80808080)
         limbs = ((u[..., None] >> shifts) & jnp.uint32(0xFF)).astype(
             jnp.int32) - 128  # [R, kp1, HALF, P, P, 4]
+        if j_major:
+            reord = jnp.transpose(limbs.astype(jnp.int8), (2, 0, 3, 1, 5, 4))
+            return reord.reshape(HALF, R, P, kp1 * 4 * P)
         reord = jnp.transpose(limbs.astype(jnp.int8), (0, 2, 3, 1, 5, 4))
         return reord.reshape(R, HALF, P, kp1 * 4 * P)
 

@@ -17,7 +17,7 @@ from herdsman_tpu.ops.server_key import device_server_key
 U32 = np.uint32
 
 ENGINES = ["gather_u32", "conv_i8", "pallas_bt", "pallas_fused",
-           "pallas_mega", "pallas_mega2"]
+           "pallas_mega", "pallas_mega2", "pallas_mega3"]
 # scan/jit-wrapped paths skip pallas engines on CPU (interpret-in-scan is
 # pathologically slow to compile); pallas coverage comes from the unrolled
 # blind-rotate/bootstrap tests above + TPU benches
@@ -28,7 +28,7 @@ ENGINES_XLA = ["gather_u32", "conv_i8"]
 def toy_device_key(toy_keys):
     _, sk, _ = toy_keys
     return device_server_key(
-        sk, layouts=("bsk_ext", "bsk_conv", "bsk_bt")
+        sk, layouts=("bsk_ext", "bsk_conv", "bsk_bt", "bsk_btj")
     )
 
 
@@ -312,3 +312,7 @@ def test_bt_layout_device_matches_host(small_keys):
     host = skm._block_toeplitz_layout(p, ext)
     dev = np.asarray(skm._block_toeplitz_layout_device(p, ext))
     np.testing.assert_array_equal(dev, host)
+    # j-major gather path == transpose of the r-major layout (the two
+    # construction paths in device_server_key must agree)
+    devj = np.asarray(skm._block_toeplitz_layout_device(p, ext, j_major=True))
+    np.testing.assert_array_equal(devj, host.transpose(0, 2, 1, 3, 4))
