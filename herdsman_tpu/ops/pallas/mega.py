@@ -421,6 +421,158 @@ def mega3_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
       bsk_btj.reshape((p.n // S, S) + bsk_btj.shape[1:]))
 
 
+def _mega4_kernel(a_ref, acc0_ref, btj_ref, out_ref, acc_sc, *,
+                  p: TFHEParams, P: int, HALF: int, R: int, G: int,
+                  S: int = 1):
+    """mega-v4: grid (batch-group, step i, chunk g) with the CHUNK axis
+    INNERMOST and the accumulators of all G chunks resident in one VMEM
+    scratch.  The key block index depends only on i, so Pallas fetches each
+    step's key block ONCE per group instead of once per chunk — key HBM
+    traffic drops G-fold (mega2/3 re-stream the full multi-GB key for every
+    128-row chunk).  Same per-chunk step sequence as mega3 (i outer /
+    g inner preserves the CMux recurrence), so bit-exactness is unchanged.
+
+    MEASURED NEGATIVE (docs/BENCH_LOG.md fourth session): 4046/s vs
+    mega3's 4360 — key DMA was already overlapped behind the ~28 us of
+    per-cell compute, and the dynamic scratch indexing + pinned-index
+    block juggling costs ~7%.  Kept as a working reference for the
+    chunk-innermost structure (it wins if future params push the key
+    past what double-buffering can hide)."""
+    from herdsman_tpu.ops.pallas.blind_rotate import _ep_column_total_jmajor
+
+    i = pl.program_id(1)
+    g = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        for c in range(p.k + 1):
+            acc_sc[g, c] = acc0_ref[:, c, :]
+
+    W = p.bg_bits * p.levels
+    Bg = 1 << p.bg_bits
+    half = Bg >> 1
+    offset = sum(half << (p.bg_bits * t) for t in range(p.levels))
+    C4P = btj_ref.shape[-1]
+
+    for st in range(S):
+        r_amt = a_ref[0, st, :].astype(U32)            # [Bt]
+        digs: dict[tuple[int, int], jax.Array] = {}
+        for c in range(p.k + 1):
+            v = acc_sc[g, c]
+            rolled = v
+            for bit in range(p.log2_2N):
+                s = 1 << bit
+                shifted = (
+                    _neg_shift(rolled, s, p.N) if s < p.N
+                    else jnp.zeros_like(rolled) - rolled
+                )
+                take_bit = (r_amt >> U32(bit)) & U32(1)
+                mask = (U32(0) - take_bit)[:, None]
+                rolled = jnp.where(
+                    jnp.broadcast_to(mask, rolled.shape) != U32(0),
+                    shifted, rolled)
+            diff = rolled - v
+            val = ((diff + U32(1 << (32 - W - 1))) >> U32(32 - W)) \
+                + U32(offset)
+            for lev in range(p.levels):
+                shift = p.bg_bits * (p.levels - 1 - lev)
+                d8 = (((val >> U32(shift)) & U32(Bg - 1)).astype(I32)
+                      - I32(half)).astype(I8)
+                row = c * p.levels + lev
+                for sub in range(HALF):
+                    digs[(row, sub)] = d8[:, sub * P:(sub + 1) * P]
+
+        btj_flat = btj_ref[0, st].reshape(HALF * R * P, C4P)
+        for ct in range(HALF):
+            total = _ep_column_total_jmajor(
+                lambda r, sub: digs[(r, sub)], btj_flat, ct, P, HALF, R
+            )
+            a = total.reshape(total.shape[0], p.k + 1, 4, P).astype(U32)
+            for c in range(p.k + 1):
+                combined = (
+                    a[:, c, 0, :]
+                    + (a[:, c, 1, :] << U32(8))
+                    + (a[:, c, 2, :] << U32(16))
+                    + (a[:, c, 3, :] << U32(24))
+                )
+                acc_sc[g, c, :, ct * P:(ct + 1) * P] = (
+                    acc_sc[g, c, :, ct * P:(ct + 1) * P] + combined
+                )
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        for c in range(p.k + 1):
+            out_ref[:, c, :] = acc_sc[g, c]
+
+
+def mega4_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
+                       bsk_btj: jax.Array) -> jax.Array:
+    """Same contract as mega3_blind_rotate (j-major key layout)."""
+    import os
+    p = params
+    P, HALF = bt_tile(p)
+    R = (p.k + 1) * p.levels
+    B = acc0.shape[0]
+    Bt = B if B <= 128 else 128
+    assert B % Bt == 0, "pad batch to a multiple of 128 first"
+    BC = B // Bt
+    C4P = (p.k + 1) * 4 * P
+    # G chunks' accumulators live in one scratch; budget ~32 MB of VMEM
+    acc_bytes = (p.k + 1) * Bt * p.N * 4
+    g_env = os.environ.get("HERDSMAN_MEGA_G")
+    G = int(g_env) if g_env else max(1, min(BC, (32 << 20) // acc_bytes))
+    while BC % G:
+        G -= 1
+    BO = BC // G
+    S = int(os.environ.get("HERDSMAN_MEGA_STEPS", "1"))
+    if p.n % S:
+        S = 1
+    NS = p.n // S
+    last = NS - 1
+
+    kwargs = {}
+    if jax.default_backend() == "tpu":
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    return pl.pallas_call(
+        functools.partial(_mega4_kernel, p=p, P=P, HALF=HALF, R=R, G=G, S=S),
+        grid=(BO, NS, G),
+        in_specs=[
+            pl.BlockSpec((1, S, Bt), lambda bo, i, g: (i, 0, bo * G + g),
+                         memory_space=pltpu.VMEM),
+            # acc0 chunk g is only read at i == 0; pin the index afterwards
+            # so the block is fetched exactly G times per group
+            pl.BlockSpec(
+                (Bt, p.k + 1, p.N),
+                lambda bo, i, g: (
+                    jnp.where(i == 0, bo * G + g, bo * G + G - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # key block depends only on i -> fetched once per step per group
+            pl.BlockSpec(
+                (1, S, HALF, R, P, C4P),
+                lambda bo, i, g: (i, 0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        # written only at i == last; pinned index avoids per-cell writebacks
+        out_specs=pl.BlockSpec(
+            (Bt, p.k + 1, p.N),
+            lambda bo, i, g, last=last: (
+                jnp.where(i == last, bo * G + g, bo * G), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, p.k + 1, p.N), U32),
+        scratch_shapes=[
+            pltpu.VMEM((G, p.k + 1, Bt, p.N), U32),       # all-chunk acc
+        ],
+        interpret=jax.default_backend() != "tpu",
+        **kwargs,
+    )(a_t.reshape(NS, S, B), acc0,
+      bsk_btj.reshape((NS, S) + bsk_btj.shape[1:]))
+
+
 def _register() -> None:
     bs.ROTATION_ENGINES = getattr(bs, "ROTATION_ENGINES", {})
     bs.ROTATION_ENGINES.setdefault("pallas_mega",
@@ -429,6 +581,8 @@ def _register() -> None:
                                    (mega2_blind_rotate, "bsk_bt"))
     bs.ROTATION_ENGINES.setdefault("pallas_mega3",
                                    (mega3_blind_rotate, "bsk_btj"))
+    bs.ROTATION_ENGINES.setdefault("pallas_mega4",
+                                   (mega4_blind_rotate, "bsk_btj"))
 
 
 _register()

@@ -34,9 +34,17 @@ def main() -> None:
     from herdsman_tpu.ops import bootstrap as bs
     from herdsman_tpu.ops.server_key import device_server_key
 
-    engines = args.engines.split(",")
+    # entry syntax: engine[:KEY=VAL[;KEY=VAL...]] — env knobs applied per
+    # entry (HERDSMAN_MEGA_STEPS / HERDSMAN_MEGA_BT / HERDSMAN_MEGA_G)
+    import os
+    entries = []
+    for spec in args.engines.split(","):
+        engine, _, kv = spec.partition(":")
+        env = dict(item.split("=") for item in kv.split(";") if item)
+        entries.append((spec, engine, env))
     layouts = tuple(sorted({
-        "bsk_btj" if e == "pallas_mega3" else "bsk_bt" for e in engines
+        "bsk_btj" if e in ("pallas_mega3", "pallas_mega4") else "bsk_bt"
+        for _, e, _env in entries
     }))
     ck, sk = get_keys(args.params)
     t0 = time.time()
@@ -52,7 +60,14 @@ def main() -> None:
     ct1 = jnp.asarray(ref.encrypt_bool(ck, bits1, rng))
     jax.block_until_ready((ct0, ct1))
 
-    for engine in engines:
+    for spec, engine, env in entries:
+        for knob in ("STEPS", "BT", "G"):
+            os.environ.pop("HERDSMAN_MEGA_" + knob, None)
+        for k, v in env.items():
+            os.environ["HERDSMAN_MEGA_" + k] = v
+        # env knobs are read at trace time; identical (engine, shape)
+        # entries would otherwise reuse a previous entry's compiled program
+        jax.clear_caches()
         fn = lambda c, e=engine: bs.bootstrap_bool_batch(dsk, c, engine=e)
         t0 = time.time()
         out = np.asarray(fn(ct0))
@@ -66,7 +81,7 @@ def main() -> None:
             chained = fn(chained)
         np.asarray(chained)
         dt = (time.time() - t0) / K
-        print(f"{engine:14s} {args.batch / dt:7.1f} bootstraps/s/chip  "
+        print(f"{spec:22s} {args.batch / dt:7.1f} bootstraps/s/chip  "
               f"({dt * 1e3:.1f} ms/batch, bad={n_bad}, "
               f"compile {compile_s:.1f}s)", flush=True)
 

@@ -53,10 +53,13 @@ def main() -> None:
         os.environ["HERDSMAN_MEGA_STEPS"] = s
         os.environ["HERDSMAN_MEGA_BT"] = bt
 
-        # (a) raw rotation only — chained: rotation output [B,k+1,N] feeds
-        # the next rotation's LWE input via a cheap slice to [B, n+1]
-        raw = jax.jit(lambda c: bs.blind_rotate_batch(
-            dsk, c, tv, engine="pallas_mega3"))
+        # (a) rotation only (bootstrap_raw_batch: mod switch + rotation, no
+        # extract/KS) — chained: the [B,k+1,N] output feeds the next
+        # call's LWE input via a cheap slice. dsk passes as a pytree ARG
+        # (a closure would capture the 3.2GB key as a lowered constant and
+        # re-ship it through the tunnel).
+        raw = lambda c: bs.bootstrap_raw_batch(dsk, c, tv,
+                                               engine="pallas_mega3")
         slicer = jax.jit(lambda acc: acc.reshape(args.batch, -1)[:, :p.n + 1])
         out = np.asarray(raw(ct0))
         t0 = time.time()
