@@ -64,7 +64,10 @@ def get_dsk(args, sk):
 
     if args.engine.startswith("pallas"):
         t0 = time.time()
-        bt = "bsk_btj" if args.engine == "pallas_mega3" else "bsk_bt"
+        bt = ("bsk_btj"
+              if args.engine in ("pallas_mega3", "pallas_mega4",
+                                 "pallas_mega5")
+              else "bsk_bt")
         dsk = device_server_key(sk, layouts=(bt,))
         log(f"BT layout prep (on device): {time.time() - t0:.1f}s")
         return dsk
@@ -319,7 +322,7 @@ def main() -> None:
     ap.add_argument("--params", default="std128_fast")
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--engine", default=os.environ.get("HERDSMAN_BENCH_ENGINE",
-                                                       "pallas_mega3"))
+                                                       "pallas_mega5"))
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--ntt-n", type=int, default=4096)
     args = ap.parse_args()

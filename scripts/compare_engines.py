@@ -43,7 +43,8 @@ def main() -> None:
         env = dict(item.split("=") for item in kv.split(";") if item)
         entries.append((spec, engine, env))
     layouts = tuple(sorted({
-        "bsk_btj" if e in ("pallas_mega3", "pallas_mega4") else "bsk_bt"
+        "bsk_btj" if e in ("pallas_mega3", "pallas_mega4", "pallas_mega5")
+        else "bsk_bt"
         for _, e, _env in entries
     }))
     ck, sk = get_keys(args.params)

@@ -17,7 +17,8 @@ from herdsman_tpu.ops.server_key import device_server_key
 U32 = np.uint32
 
 ENGINES = ["gather_u32", "conv_i8", "pallas_bt", "pallas_fused",
-           "pallas_mega", "pallas_mega2", "pallas_mega3", "pallas_mega4"]
+           "pallas_mega", "pallas_mega2", "pallas_mega3", "pallas_mega4",
+           "pallas_mega5"]
 # scan/jit-wrapped paths skip pallas engines on CPU (interpret-in-scan is
 # pathologically slow to compile); pallas coverage comes from the unrolled
 # blind-rotate/bootstrap tests above + TPU benches
@@ -114,12 +115,13 @@ def test_blind_rotate_bitexact(toy_keys, toy_device_key, engine):
         np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
 
 
+@pytest.mark.parametrize("engine", ["pallas_mega4", "pallas_mega5"])
 @pytest.mark.parametrize("g_env", ["2", "1"])
-def test_mega4_multichunk_bitexact(toy_keys, toy_device_key, g_env,
-                                   monkeypatch):
-    """mega4's chunk-innermost grid: exercise G > 1 (all-chunk VMEM acc,
-    key fetched once per step) AND BO > 1 (multiple chunk groups) — the
-    pinned acc0/out BlockSpec index tricks only engage when BC > 1."""
+def test_mega_multichunk_bitexact(toy_keys, toy_device_key, engine, g_env,
+                                  monkeypatch):
+    """mega4/5's grouped grids: exercise G > 1 (group VMEM acc, key fetched
+    once per step per group) AND BO > 1 (multiple chunk groups) — the
+    group/pinned BlockSpec index paths only engage when BC > 1."""
     monkeypatch.setenv("HERDSMAN_MEGA_G", g_env)
     ck, sk, rng = toy_keys
     B = 256  # Bt=128 -> BC=2: G=2/BO=1 and G=1/BO=2
@@ -128,7 +130,7 @@ def test_mega4_multichunk_bitexact(toy_keys, toy_device_key, g_env,
     tv = ref.make_test_poly(TOY)
     got = np.asarray(
         bs.blind_rotate_batch(toy_device_key, jnp.asarray(ct), jnp.asarray(tv),
-                              engine="pallas_mega4", unroll=True)
+                              engine=engine, unroll=True)
     )
     for i in range(0, B, 37):
         expect = ref.blind_rotate(sk, ct[i], tv)
