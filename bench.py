@@ -62,18 +62,14 @@ def get_dsk(args, sk):
     no multi-GB host array, so no disk cache is needed."""
     from herdsman_tpu.ops.server_key import device_server_key
 
+    from herdsman_tpu.ops.server_key import layouts_for_engine
+
+    layout = layouts_for_engine(args.engine)
+    t0 = time.time()
+    dsk = device_server_key(sk, layouts=layout)
     if args.engine.startswith("pallas"):
-        t0 = time.time()
-        bt = ("bsk_btj"
-              if args.engine in ("pallas_mega3", "pallas_mega4",
-                                 "pallas_mega5")
-              else "bsk_bt")
-        dsk = device_server_key(sk, layouts=(bt,))
         log(f"BT layout prep (on device): {time.time() - t0:.1f}s")
-        return dsk
-    layout = {"conv_i8": ("bsk_conv",), "gather_u32": ("bsk_ext",)}.get(
-        args.engine, ("bsk_ext", "bsk_conv"))
-    return device_server_key(sk, layouts=layout)
+    return dsk
 
 
 def bench_rns(args) -> None:

@@ -43,9 +43,9 @@ class HerdContext:
             self.ck, self.sk = ref.keygen(params, self._rng)
         else:
             self.ck, self.sk = keys
-        layouts = ("bsk_bt",) if engine.startswith("pallas") else (
-            "bsk_conv",) if engine == "conv_i8" else ("bsk_ext",)
-        self.dsk = device_server_key(self.sk, layouts=layouts)
+        from herdsman_tpu.ops.server_key import layouts_for_engine
+        self.dsk = device_server_key(self.sk,
+                                     layouts=layouts_for_engine(engine))
 
     # ---- client ops ----
 

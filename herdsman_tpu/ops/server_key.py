@@ -130,6 +130,18 @@ def device_server_key(
     )
 
 
+def layouts_for_engine(engine: str) -> tuple[str, ...]:
+    """Key layout(s) an engine consumes (single source of truth — used by
+    the eager API, shortint, the coordinator and bench)."""
+    if engine in ("pallas_mega3", "pallas_mega4", "pallas_mega5"):
+        return ("bsk_btj",)
+    if engine.startswith("pallas"):
+        return ("bsk_bt",)
+    if engine == "conv_i8":
+        return ("bsk_conv",)
+    return ("bsk_ext",)
+
+
 def bt_tile(params: TFHEParams) -> tuple[int, int]:
     """(P, HALF) for the block-Toeplitz layout: P = min(128, N), HALF = N/P."""
     P = min(128, params.N)

@@ -210,15 +210,10 @@ class Coordinator:
 
             data = self.keys.read_key(session_uuid, SchemaType.TFHE_BOOL)
             sk = deserialize_server_key(data)
-            if self._engine.startswith("pallas"):
-                layouts = ("bsk_bt",)
-            else:
-                layouts = {
-                    "conv_i8": ("bsk_conv",),
-                    "gather_u32": ("bsk_ext",),
-                }.get(self._engine, ("bsk_ext",))
+            from herdsman_tpu.ops.server_key import layouts_for_engine
+
             self._session_dsk[session_uuid] = device_server_key(
-                sk, layouts=layouts
+                sk, layouts=layouts_for_engine(self._engine)
             )
         return self._session_dsk[session_uuid]
 

@@ -59,9 +59,9 @@ class ShortContext:
         if dsk is not None:
             self.dsk: DeviceServerKey = dsk
         else:
-            layouts = ("bsk_bt",) if engine.startswith("pallas") \
-                else ("bsk_conv",)
-            self.dsk = device_server_key(self.sk, layouts=layouts)
+            from herdsman_tpu.ops.server_key import layouts_for_engine
+            self.dsk = device_server_key(self.sk,
+                                         layouts=layouts_for_engine(engine))
 
     @property
     def modulus(self) -> int:
