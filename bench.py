@@ -330,6 +330,9 @@ def main() -> None:
         bench_noise(args)
         return
     if args.metric == "shortint":
+        if args.params == "std128_fast":
+            args.params = "std128_shortint"  # PBS-safe slot margins
+            log("shortint metric: params -> std128_shortint")
         bench_shortint(args)
         return
     if args.metric == "radix":
