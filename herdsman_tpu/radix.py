@@ -126,9 +126,11 @@ class RadixContext:
         blocks = []
         for j in range(self.n_blocks):
             data = bits[j * s.msg_bits].data
+            nl = bits[j * s.msg_bits].noise_level
             for t in range(1, s.msg_bits):
                 data = data + bits[j * s.msg_bits + t].data * U32(1 << t)
-            blocks.append(EncShort(s, data, s.modulus - 1))
+                nl += bits[j * s.msg_bits + t].noise_level << t
+            blocks.append(EncShort(s, data, s.modulus - 1, nl))
         return EncRadix(self, blocks)
 
     def _split(self, data: jnp.ndarray, max_val: int
@@ -156,14 +158,17 @@ class RadixContext:
             terms = cols[j] + carry_terms[j]
             acc_data = jnp.zeros_like(like)
             acc_max = 0
+            acc_nl = 0
             for t in terms:
                 if acc_max + t.max_val >= s.space:
                     low, c = self._split(acc_data, acc_max)
                     carry_terms[j + 1].append(c)
                     acc_data, acc_max = low.data, low.max_val
+                    acc_nl = low.noise_level
                 acc_data = acc_data + t.data
                 acc_max += t.max_val
-            blocks.append(EncShort(s, acc_data, acc_max))
+                acc_nl += t.noise_level
+            blocks.append(EncShort(s, acc_data, acc_max, max(acc_nl, 1)))
         return EncRadix(self, blocks)
 
     def sum(self, values: list["EncRadix"]) -> "EncRadix":
@@ -195,6 +200,28 @@ class EncRadix:
         The carry out of the top block is dropped (mod 2^W semantics)."""
         return self._propagate_carry()[0]
 
+    def refresh(self) -> "EncRadix":
+        """propagate() plus a noise refresh of any block whose
+        noise_level exceeds 1 — ALL stale blocks in ONE extra batched PBS
+        (the mod-LUT, value-identity for max_val < modulus). Operands of
+        packed bivariate LUTs (x*m + y) must be refresh()ed: the packing
+        scales x's noise by m, and carry-free blocks out of column
+        accumulation carry level-3..4 summed noise that propagate() alone
+        never repays (tfhe-rs NoiseLevel discipline; the radix-chain
+        exact=False of docs/ROADMAP.md)."""
+        ctx = self.ctx
+        s = ctx.short
+        x = self.propagate()
+        stale = [j for j, b in enumerate(x.blocks) if b.noise_level > 1]
+        if not stale:
+            return x
+        table = [t % s.modulus for t in range(s.space)]
+        fresh = ctx._pbs_stack([x.blocks[j].data for j in stale], table)
+        blocks = list(x.blocks)
+        for j, data in zip(stale, fresh):
+            blocks[j] = EncShort(s, data, x.blocks[j].max_val)
+        return EncRadix(ctx, blocks)
+
     def _propagate_carry(self) -> tuple["EncRadix", EncShort | None]:
         """propagate() plus the top-block carry-out (None when the value
         was already fully reduced). A block already saturating the space is
@@ -207,24 +234,26 @@ class EncRadix:
         out: list[EncShort] = []
         carry: EncShort | None = None
         for blk in self.blocks:
-            data, maxv = blk.data, blk.max_val
+            data, maxv, nl = blk.data, blk.max_val, blk.noise_level
             cmax = carry.max_val if carry is not None else 0
             extra: EncShort | None = None
             if maxv + cmax >= s.space:
                 low, extra = ctx._split(data, maxv)
-                data, maxv = low.data, low.max_val
+                data, maxv, nl = low.data, low.max_val, low.noise_level
             if carry is not None:
                 data = data + carry.data
                 maxv += cmax
+                nl += carry.noise_level
             assert maxv < s.space
             if maxv < s.modulus:
-                out.append(EncShort(s, data, maxv))
+                out.append(EncShort(s, data, maxv, nl))
                 carry = extra
             else:
                 low2, c2 = ctx._split(data, maxv)
                 out.append(low2)
                 carry = c2 if extra is None else EncShort(
-                    s, extra.data + c2.data, extra.max_val + c2.max_val
+                    s, extra.data + c2.data, extra.max_val + c2.max_val,
+                    extra.noise_level + c2.noise_level
                 )
         return EncRadix(ctx, out), carry
 
@@ -238,7 +267,8 @@ class EncRadix:
         s = ctx.short
         a, b = self.propagate(), o.propagate()  # inputs reduced mod 2^W
         total = EncRadix(ctx, [
-            EncShort(s, x.data + y.data, x.max_val + y.max_val)
+            EncShort(s, x.data + y.data, x.max_val + y.max_val,
+                     x.noise_level + y.noise_level)
             for x, y in zip(a.blocks, b.blocks)
         ])
         out, carry = total._propagate_carry()
@@ -263,7 +293,8 @@ class EncRadix:
             if any(x.max_val + y.max_val >= s.space
                    for x, y in zip(a.blocks, b.blocks)):
                 b = b.propagate()
-        blocks = [EncShort(s, x.data + y.data, x.max_val + y.max_val)
+        blocks = [EncShort(s, x.data + y.data, x.max_val + y.max_val,
+                           x.noise_level + y.noise_level)
                   for x, y in zip(a.blocks, b.blocks)]
         return EncRadix(ctx, blocks)
 
@@ -281,7 +312,8 @@ class EncRadix:
         for blk, d in zip(x.blocks, digs):
             mu = int(pbs_mod.encode(s.params, d, s.space_bits))
             data = blk.data.at[:, s.params.n].add(U32(mu)) if d else blk.data
-            blocks.append(EncShort(s, data, blk.max_val + d))
+            blocks.append(EncShort(s, data, blk.max_val + d,
+                                   blk.noise_level))
         return EncRadix(ctx, blocks)
 
     def __neg__(self) -> "EncRadix":
@@ -395,7 +427,9 @@ class EncRadix:
                 blocks.append(blk)
             else:  # blk < m and fill < m share no bits: sum stays < space
                 blocks.append(EncShort(s, blk.data + sgn.data * U32(d),
-                                       blk.max_val + d))
+                                       blk.max_val + d,
+                                       blk.noise_level +
+                                       sgn.noise_level * d))
         return EncRadix(ctx, blocks)
 
     def rotate_bits_left(self, k: int) -> "EncRadix":
@@ -461,7 +495,7 @@ class EncRadix:
         s = ctx.short
         m = s.modulus
         nb_out = out_blocks if out_blocks is not None else ctx.n_blocks
-        a, b = self.propagate(), o.propagate()
+        a, b = self.refresh(), o.refresh()
         lo_t = [((t >> s.msg_bits) * (t & (m - 1))) % m for t in range(s.space)]
         hi_t = [((t >> s.msg_bits) * (t & (m - 1))) // m for t in range(s.space)]
         packed, lo_dst, hi_dst = [], [], []
@@ -524,7 +558,8 @@ class EncRadix:
             for i in range(ctx.n_blocks - j):
                 blk = x.blocks[i]
                 cols[i + j].append(
-                    EncShort(s, blk.data * U32(d), blk.max_val * d)
+                    EncShort(s, blk.data * U32(d), blk.max_val * d,
+                             blk.noise_level * d)
                 )
         return self._accumulate_columns(cols)
 
@@ -537,7 +572,7 @@ class EncRadix:
         ctx = self.ctx
         s = ctx.short
         m = s.modulus
-        a, b = self.propagate(), o.propagate()
+        a, b = self.refresh(), o.refresh()
         table = [fn(t >> s.msg_bits, t & (m - 1)) % m for t in range(s.space)]
         packed = [x.data * U32(m) + y.data
                   for x, y in zip(a.blocks, b.blocks)]
@@ -564,7 +599,8 @@ class EncRadix:
         blocks = []
         for blk in x.blocks:
             const = jnp.zeros_like(blk.data).at[:, s.params.n].set(U32(mu))
-            blocks.append(EncShort(s, const - blk.data, s.modulus - 1))
+            blocks.append(EncShort(s, const - blk.data, s.modulus - 1,
+                                   blk.noise_level))
         return EncRadix(ctx, blocks)
 
     # ---- bit access ----
@@ -670,7 +706,7 @@ class EncRadix:
         ctx = self.ctx
         s = ctx.short
         m = s.modulus
-        x = self.propagate()
+        x = self.refresh()
         keep_t = [(t & (m - 1)) if (t >> s.msg_bits) == 1 else 0
                   for t in range(s.space)]
         packed = [flag.data * U32(m) + b.data for b in x.blocks]
@@ -722,7 +758,7 @@ class EncRadix:
         s = ctx.short
         m = s.modulus
         assert ctx.n_blocks < s.space, "too many blocks for eq-sum"
-        a, b = self.propagate(), o.propagate()
+        a, b = self.refresh(), o.refresh()
         neq_t = [1 if (t >> s.msg_bits) != (t & (m - 1)) else 0
                  for t in range(s.space)]
         packed = [x.data * U32(m) + y.data
@@ -747,7 +783,7 @@ class EncRadix:
         ctx = self.ctx
         s = ctx.short
         m = s.modulus
-        a, b = self.propagate(), o.propagate()
+        a, b = self.refresh(), o.refresh()
         cmp_t = []
         for t in range(s.space):
             x, y = t >> s.msg_bits, t & (m - 1)
@@ -843,7 +879,7 @@ class EncRadix:
         s = ctx.short
         m = s.modulus
         assert sel.max_val <= 1
-        a, b = self.propagate(), other.propagate()
+        a, b = self.refresh(), other.refresh()
         keep_t = [(t & (m - 1)) if (t >> s.msg_bits) == 1 else 0
                   for t in range(s.space)]
         drop_t = [(t & (m - 1)) if (t >> s.msg_bits) == 0 else 0
@@ -853,7 +889,7 @@ class EncRadix:
         kept = ctx._pbs_stack(pa, keep_t)
         dropped = ctx._pbs_stack(pb, drop_t)
         # exactly one of (kept, dropped) is an encryption of 0 per block
-        blocks = [EncShort(s, u + v, m - 1)
+        blocks = [EncShort(s, u + v, m - 1, 2)
                   for u, v in zip(kept, dropped)]
         return EncRadix(ctx, blocks)
 

@@ -46,6 +46,9 @@ class ShortContext:
         if many_lut is None:
             many_lut = pbs.many_lut_capacity(params, self.space_bits) >= 2
         self.many_lut = many_lut
+        # tfhe-rs max_noise_level analog: a fresh x-operand packed as
+        # x*m + y contributes level modulus, plus a fresh y -> modulus + 1
+        self.max_noise = self.modulus + 1
         # each slot needs enough blind-rotation indices to absorb the
         # mod-switch rounding noise (~sqrt(n)/2 indices): require >= 16
         assert 2 * params.N >= (1 << (self.space_bits + 1)) * 16, \
@@ -103,6 +106,14 @@ class EncShort:
     ctx: ShortContext
     data: jnp.ndarray      # [B, n+1]
     max_val: int           # maximum possible plaintext in the working space
+    noise_level: int = 1   # tfhe-rs NoiseLevel analog: 1 = fresh PBS/encrypt
+    # output; linear sums add levels, scalar muls scale them. Packed
+    # bivariate LUTs (x*m + y) scale x's noise by m, so packing requires
+    # fresh operands — enforced at the pack sites via `reduce()`, which
+    # refreshes noise to level 1. Without this, a chained radix multiply
+    # feeds column-accumulated (level 3-4) blocks into the x4 packing and
+    # the mod-switch rounding fails (~2 sigma: the exact=False of
+    # docs/ROADMAP.md "Correctness (open items)").
 
     def reduce(self) -> "EncShort":
         """Fold back to [0, modulus): one PBS with the mod-LUT."""
@@ -117,21 +128,27 @@ class EncShort:
 
     def __add__(self, o: "EncShort") -> "EncShort":
         a, b = self, o
-        if a.max_val + b.max_val >= a.ctx.space:
+        mn = a.ctx.max_noise
+        if a.max_val + b.max_val >= a.ctx.space or \
+                a.noise_level + b.noise_level > mn:
             a = a.reduce()
-            if a.max_val + b.max_val >= a.ctx.space:
+            if a.max_val + b.max_val >= a.ctx.space or \
+                    a.noise_level + b.noise_level > mn:
                 b = b.reduce()
-        return EncShort(a.ctx, a.data + b.data, a.max_val + b.max_val)
+        return EncShort(a.ctx, a.data + b.data, a.max_val + b.max_val,
+                        a.noise_level + b.noise_level)
 
     def scalar_mul(self, k: int) -> "EncShort":
         assert k >= 0
         if k == 0:
             return EncShort(self.ctx, jnp.zeros_like(self.data), 0)
         x = self
-        if x.max_val * k >= x.ctx.space:
+        if x.max_val * k >= x.ctx.space or \
+                x.noise_level * k > x.ctx.max_noise:
             x = x.reduce()
         assert x.max_val * k < x.ctx.space, "scalar too large for the space"
-        return EncShort(x.ctx, x.data.astype(U32) * U32(k), x.max_val * k)
+        return EncShort(x.ctx, x.data.astype(U32) * U32(k), x.max_val * k,
+                        x.noise_level * k)
 
     def apply_lut(self, fn) -> "EncShort":
         """Evaluate an arbitrary unary function f over [0, space) (the
@@ -149,9 +166,12 @@ class EncShort:
         ctx = self.ctx
         assert ctx.space_bits >= 2 * ctx.msg_bits, \
             "need carry_bits >= msg_bits for packed multiplication"
-        a = self if self.max_val < ctx.modulus else self.reduce()
-        b = o if o.max_val < ctx.modulus else o.reduce()
         m = ctx.modulus
+        # packing scales a's noise by m: both operands must be fresh
+        a = self if (self.max_val < m and self.noise_level * m +
+                     1 <= ctx.max_noise) else self.reduce()
+        b = o if (o.max_val < m and a.noise_level * m +
+                  o.noise_level <= ctx.max_noise) else o.reduce()
         packed = a.data.astype(U32) * U32(m) + b.data
         table = [((t >> ctx.msg_bits) * (t & (m - 1))) % m
                  for t in range(ctx.space)]

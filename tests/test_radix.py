@@ -283,3 +283,34 @@ def test_ilog2(rctx):
     vals = [1, 2, 3, 17, 63]
     a = rctx.encrypt(vals)
     assert rctx.decrypt(a.ilog2()) == [v.bit_length() - 1 for v in vals]
+
+
+def test_noise_level_tracking_and_refresh(rctx):
+    """tfhe-rs NoiseLevel discipline: column-accumulated multiply outputs
+    record summed noise (>1 on carry-free blocks), refresh() repays it in
+    one batched PBS, and packed-LUT ops (the chained multiply that failed
+    on hardware, docs/ROADMAP.md) consume only fresh operands."""
+    a = rctx.encrypt([5, 9, 13, 60])
+    b = rctx.encrypt([3, 7, 11, 2])
+    c = a * b
+    # the accumulate leaves at least one block with summed (stale) noise
+    assert any(blk.noise_level > 1 for blk in c.blocks)
+    r = c.refresh()
+    assert all(blk.noise_level == 1 for blk in r.blocks)
+    assert all(blk.max_val < rctx.short.modulus for blk in r.blocks)
+    # chained multiply goes through refresh() internally and stays exact
+    d = c * b
+    exp = [(x * y * y) % MOD for x, y in zip([5, 9, 13, 60], [3, 7, 11, 2])]
+    assert rctx.decrypt(d) == exp
+
+
+def test_noise_level_shortint_ops(rctx):
+    """EncShort linear ops sum/scale noise levels; PBS-backed ops reset
+    them; the bivariate multiply refreshes stale operands."""
+    s = rctx.short
+    x = s.encrypt([1, 2]); y = s.encrypt([3, 1])
+    t = x + y
+    assert t.noise_level == 2
+    assert t.scalar_mul(2).noise_level in (1, 2, 4)  # may reduce first
+    assert (t * y).noise_level == 1  # PBS output is fresh
+    assert list(s.decrypt((t * y).reduce())) == [(4 * 3) % 4, (3 * 1) % 4]
