@@ -505,7 +505,7 @@ class EncRadix:
                 lo_dst.append(i + j)
                 hi_dst.append(i + j + 1)
         cols: list[list[EncShort]] = [[] for _ in range(nb_out)]
-        if ctx.short.many_lut:
+        if ctx.short.many_lut and ctx.short.many_lut_packed:
             # lo+hi of every pair from ONE blind rotation; unused hi
             # results (top column overflow) are simply dropped
             los, his = ctx._pbs_stack_many(packed, [lo_t, hi_t])

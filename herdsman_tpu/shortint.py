@@ -46,6 +46,15 @@ class ShortContext:
         if many_lut is None:
             many_lut = pbs.many_lut_capacity(params, self.space_bits) >= 2
         self.many_lut = many_lut
+        # Packed-input LUTs (x*m + y) never share a rotation: the x*m
+        # noise scaling and many-LUT's reduced-precision mod switch are
+        # BOTH margin penalties, and stacked they take the packed input to
+        # ~3 sigma at STD128_SHORTINT — measured on hardware as ~1e-4
+        # failures in chained radix multiplies that vanish with many-LUT
+        # off (scripts/debug_radix_chain.py; docs/ROADMAP.md). Unary
+        # many-LUT paths (carry splits, bit extraction) keep their slack
+        # (17.3 sigma measured) and stay enabled.
+        self.many_lut_packed = False
         # tfhe-rs max_noise_level analog: a fresh x-operand packed as
         # x*m + y contributes level modulus, plus a fresh y -> modulus + 1
         self.max_noise = self.modulus + 1

@@ -25,6 +25,7 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--params", default="std128_shortint")
     ap.add_argument("--engine", default="pallas_mega5")
+    ap.add_argument("--many-lut", type=int, default=1)
     args = ap.parse_args()
 
     from herdsman_tpu.core import PARAM_SETS
@@ -35,8 +36,9 @@ def main() -> None:
     ck, sk = get_keys(args.params)
     t0 = time.time()
     s = ShortContext(p, msg_bits=2, carry_bits=2, engine=args.engine,
-                     keys=(ck, sk))
-    print(f"key prep {time.time() - t0:.1f}s", flush=True)
+                     keys=(ck, sk), many_lut=bool(args.many_lut))
+    print(f"key prep {time.time() - t0:.1f}s many_lut={s.many_lut}",
+          flush=True)
     ctx = RadixContext(s, n_blocks=4)
 
     rng = np.random.default_rng(42)
