@@ -192,6 +192,13 @@ STD128_FAST = TFHEParams(
 # bootstrap output noise to ~2^-11.5 q, giving ~45-sigma margins at the
 # q/64 slot width of a (msg=2, carry=2) shortint working space.
 # Block-Toeplitz layout: ~9.7 GiB (fits v5e HBM with room for batches).
+# KS gadget: base 2^2 x 12 levels — the KS gadget noise (kN*l*(B^2/12)*
+# lwe_std^2) dominated the PBS output sigma at the original base 2^3 x 5
+# (~8.9e-4 q of the measured 9.2e-4); the finer gadget cuts it ~2.6x so
+# the PACKED bivariate inputs of the radix layer (x*4 + y: noise scaled
+# 4x, plus the 1.95e-3 q mod-switch floor) clear ~6.4 sigma instead of
+# ~4 (docs/ROADMAP.md "Correctness"). KSK cost is one int8 MXU matmul —
+# 2.4x more rows is noise-budget well spent.
 STD128_SHORTINT = TFHEParams(
     name="std128_shortint",
     n=768,
@@ -201,8 +208,8 @@ STD128_SHORTINT = TFHEParams(
     glwe_std=4.0,
     bg_bits=7,
     levels=3,
-    ks_base_bits=3,
-    ks_levels=5,
+    ks_base_bits=2,
+    ks_levels=12,
     security_bits=128,
 )
 
