@@ -183,9 +183,23 @@ def bench_shortint(args) -> None:
     t0 = time.time()
     r = (a * b) + a
     got = np.array(ctx.decrypt(r))
-    log(f"(a*b)+a over {B} encrypted 2-bit values: {time.time() - t0:.1f}s")
+    log(f"(a*b)+a over {B} encrypted 2-bit values: {time.time() - t0:.1f}s "
+        f"(incl. compile)")
     expect = (av * bv + av) % 4
     ok = (got == expect).all()
+    # chained throughput (compile already done; data-dependent chain so the
+    # tunnel's async-repeat quirk cannot fake it — see docs/BENCH_LOG.md)
+    K = max(2, args.iters)
+    ev = got.copy()
+    t0 = time.time()
+    for _ in range(K):
+        r = (r * b) + a
+        ev = (ev * bv + av) % 4
+    got = np.array(ctx.decrypt(r))
+    dt = (time.time() - t0) / K
+    ok = ok and (got == ev).all()
+    log(f"chained (r*b)+a: {B / dt:.1f} shortint mul-adds/s/chip "
+        f"({dt * 1e3:.0f} ms/batch of {B})")
     # slot margin on the final (reduced) ciphertext
     rr = r.reduce() if r.max_val >= ctx.modulus else r
     phase = ref.lwe_phase(ck.lwe_key, np.asarray(rr.data)).astype(np.int64)

@@ -703,6 +703,174 @@ def mega5_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
     )(a_t.reshape(p.n, 1, B), acc0, bsk_btj)
 
 
+def _mega6_kernel(a_ref, acc0_ref, btj_ref, out_ref, acc_sc, *,
+                  p: TFHEParams, P: int, HALF: int, R: int, G: int,
+                  ablate: str = ""):
+    """mega-v6: mega5 with EXPLICIT software pipelining instead of trusting
+    the scheduler to find the overlap across chunk chains.
+
+    Two staggers (both pure reorderings of mega5's op stream — the math is
+    identical, bit-exact):
+
+    - column-tile stagger: the [Bt, C4P] limb-recombine + acc update (VPU)
+      of column tile ct is emitted AFTER the MXU dots of tile ct+1 have been
+      issued, so the wait on dot(ct)'s result always has the next dot
+      already in the MXU pipe;
+    - chunk stagger: chunk g+1's barrel rotate + gadget decompose (the
+      dominant VPU cost, ~log2(2N) select stages over [Bt, N] u32) is
+      emitted BEFORE chunk g's dots, so the in-order issue stream never
+      parks the VPU behind an MXU dependency (mega5 interleaves
+      rotate(g) -> dots(g) -> rotate(g+1), which leaves the rotate of the
+      next chunk textually behind the dots that stall on scratch writes).
+    """
+    from herdsman_tpu.ops.pallas.blind_rotate import _ep_column_total_jmajor
+
+    i = pl.program_id(1)
+    Bt = acc_sc.shape[2]
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(G):
+            for c in range(p.k + 1):
+                acc_sc[g, c] = acc0_ref[g * Bt:(g + 1) * Bt, c, :]
+
+    W = p.bg_bits * p.levels
+    Bg = 1 << p.bg_bits
+    half = Bg >> 1
+    offset = sum(half << (p.bg_bits * t) for t in range(p.levels))
+    C4P = btj_ref.shape[-1]
+    btj_flat = btj_ref[0].reshape(HALF * R * P, C4P)
+
+    def compute_digits(g):
+        r_amt = a_ref[0, 0, g * Bt:(g + 1) * Bt].astype(U32)
+        digs: dict[tuple[int, int], jax.Array] = {}
+        for c in range(p.k + 1):
+            v = acc_sc[g, c]
+            rolled = v
+            if ablate != "norot":  # probe-only ablation, never the default
+                for bit in range(p.log2_2N):
+                    s = 1 << bit
+                    shifted = (
+                        _neg_shift(rolled, s, p.N) if s < p.N
+                        else jnp.zeros_like(rolled) - rolled
+                    )
+                    take_bit = (r_amt >> U32(bit)) & U32(1)
+                    mask = (U32(0) - take_bit)[:, None]
+                    rolled = jnp.where(
+                        jnp.broadcast_to(mask, rolled.shape) != U32(0),
+                        shifted, rolled)
+            else:
+                rolled = rolled + r_amt[:, None]
+            diff = rolled - v
+            val = ((diff + U32(1 << (32 - W - 1))) >> U32(32 - W)) \
+                + U32(offset)
+            for lev in range(p.levels):
+                shift = p.bg_bits * (p.levels - 1 - lev)
+                d8 = (((val >> U32(shift)) & U32(Bg - 1)).astype(I32)
+                      - I32(half)).astype(I8)
+                row = c * p.levels + lev
+                for sub in range(HALF):
+                    digs[(row, sub)] = d8[:, sub * P:(sub + 1) * P]
+        return digs
+
+    def combine_into(g, ct, total):
+        a = total.reshape(total.shape[0], p.k + 1, 4, P).astype(U32)
+        for c in range(p.k + 1):
+            combined = (
+                a[:, c, 0, :]
+                + (a[:, c, 1, :] << U32(8))
+                + (a[:, c, 2, :] << U32(16))
+                + (a[:, c, 3, :] << U32(24))
+            )
+            acc_sc[g, c, :, ct * P:(ct + 1) * P] = (
+                acc_sc[g, c, :, ct * P:(ct + 1) * P] + combined
+            )
+
+    def do_dots(g, digs):
+        if ablate == "nodot":  # probe-only: consume digits without the MXU
+            for c in range(p.k + 1):
+                s = digs[(c * p.levels, 0)].astype(U32)
+                for row in range(c * p.levels, (c + 1) * p.levels):
+                    for sub in range(HALF):
+                        if (row, sub) != (c * p.levels, 0):
+                            s = s + digs[(row, sub)].astype(U32)
+                acc_sc[g, c, :, 0:P] = acc_sc[g, c, :, 0:P] + s
+            return
+        prev = None
+        for ct in range(HALF):
+            total = _ep_column_total_jmajor(
+                lambda r, sub: digs[(r, sub)], btj_flat, ct, P, HALF, R
+            )
+            if prev is not None:
+                combine_into(g, prev[0], prev[1])
+            prev = (ct, total)
+        combine_into(g, prev[0], prev[1])
+
+    digs = compute_digits(0)
+    for g in range(G):
+        digs_next = compute_digits(g + 1) if g + 1 < G else None
+        do_dots(g, digs)
+        digs = digs_next
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        for g in range(G):
+            for c in range(p.k + 1):
+                out_ref[g * Bt:(g + 1) * Bt, c, :] = acc_sc[g, c]
+
+
+def mega6_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
+                       bsk_btj: jax.Array) -> jax.Array:
+    """Same contract (and block geometry) as mega5_blind_rotate."""
+    import os
+    p = params
+    P, HALF = bt_tile(p)
+    R = (p.k + 1) * p.levels
+    B = acc0.shape[0]
+    Bt = B if B <= 128 else 128
+    assert B % Bt == 0, "pad batch to a multiple of 128 first"
+    BC = B // Bt
+    C4P = (p.k + 1) * 4 * P
+    acc_bytes = (p.k + 1) * Bt * p.N * 4
+    g_env = os.environ.get("HERDSMAN_MEGA_G")
+    G = int(g_env) if g_env else max(1, min(BC, (8 << 20) // acc_bytes))
+    while BC % G:
+        G -= 1
+    BO = BC // G
+
+    ablate = os.environ.get("HERDSMAN_MEGA_ABLATE", "")
+    kwargs = {}
+    if jax.default_backend() == "tpu":
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    return pl.pallas_call(
+        functools.partial(_mega6_kernel, p=p, P=P, HALF=HALF, R=R, G=G,
+                          ablate=ablate),
+        grid=(BO, p.n),
+        in_specs=[
+            pl.BlockSpec((1, 1, G * Bt), lambda bo, i: (i, 0, bo),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * Bt, p.k + 1, p.N), lambda bo, i: (bo, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, HALF, R, P, C4P),
+                lambda bo, i: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((G * Bt, p.k + 1, p.N),
+                               lambda bo, i: (bo, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, p.k + 1, p.N), U32),
+        scratch_shapes=[
+            pltpu.VMEM((G, p.k + 1, Bt, p.N), U32),       # group acc
+        ],
+        interpret=jax.default_backend() != "tpu",
+        **kwargs,
+    )(a_t.reshape(p.n, 1, B), acc0, bsk_btj)
+
+
 def _register() -> None:
     bs.ROTATION_ENGINES = getattr(bs, "ROTATION_ENGINES", {})
     bs.ROTATION_ENGINES.setdefault("pallas_mega",
@@ -715,6 +883,8 @@ def _register() -> None:
                                    (mega4_blind_rotate, "bsk_btj"))
     bs.ROTATION_ENGINES.setdefault("pallas_mega5",
                                    (mega5_blind_rotate, "bsk_btj"))
+    bs.ROTATION_ENGINES.setdefault("pallas_mega6",
+                                   (mega6_blind_rotate, "bsk_btj"))
 
 
 _register()

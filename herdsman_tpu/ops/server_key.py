@@ -133,7 +133,8 @@ def device_server_key(
 def layouts_for_engine(engine: str) -> tuple[str, ...]:
     """Key layout(s) an engine consumes (single source of truth — used by
     the eager API, shortint, the coordinator and bench)."""
-    if engine in ("pallas_mega3", "pallas_mega4", "pallas_mega5"):
+    if engine in ("pallas_mega3", "pallas_mega4", "pallas_mega5",
+                  "pallas_mega6"):
         return ("bsk_btj",)
     if engine.startswith("pallas"):
         return ("bsk_bt",)

@@ -43,7 +43,8 @@ def main() -> None:
         env = dict(item.split("=") for item in kv.split(";") if item)
         entries.append((spec, engine, env))
     layouts = tuple(sorted({
-        "bsk_btj" if e in ("pallas_mega3", "pallas_mega4", "pallas_mega5")
+        "bsk_btj" if e in ("pallas_mega3", "pallas_mega4", "pallas_mega5",
+                           "pallas_mega6")
         else "bsk_bt"
         for _, e, _env in entries
     }))
@@ -62,7 +63,7 @@ def main() -> None:
     jax.block_until_ready((ct0, ct1))
 
     for spec, engine, env in entries:
-        for knob in ("STEPS", "BT", "G"):
+        for knob in ("STEPS", "BT", "G", "ABLATE"):
             os.environ.pop("HERDSMAN_MEGA_" + knob, None)
         for k, v in env.items():
             os.environ["HERDSMAN_MEGA_" + k] = v

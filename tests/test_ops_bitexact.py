@@ -18,7 +18,7 @@ U32 = np.uint32
 
 ENGINES = ["gather_u32", "conv_i8", "pallas_bt", "pallas_fused",
            "pallas_mega", "pallas_mega2", "pallas_mega3", "pallas_mega4",
-           "pallas_mega5"]
+           "pallas_mega5", "pallas_mega6"]
 # scan/jit-wrapped paths skip pallas engines on CPU (interpret-in-scan is
 # pathologically slow to compile); pallas coverage comes from the unrolled
 # blind-rotate/bootstrap tests above + TPU benches
@@ -115,7 +115,8 @@ def test_blind_rotate_bitexact(toy_keys, toy_device_key, engine):
         np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
 
 
-@pytest.mark.parametrize("engine", ["pallas_mega4", "pallas_mega5"])
+@pytest.mark.parametrize("engine", ["pallas_mega4", "pallas_mega5",
+                                    "pallas_mega6"])
 @pytest.mark.parametrize("g_env", ["2", "1"])
 def test_mega_multichunk_bitexact(toy_keys, toy_device_key, engine, g_env,
                                   monkeypatch):
