@@ -332,7 +332,7 @@ def main() -> None:
     ap.add_argument("--params", default="std128_fast")
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--engine", default=os.environ.get("HERDSMAN_BENCH_ENGINE",
-                                                       "pallas_mega5"))
+                                                       "pallas_mega7"))
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--ntt-n", type=int, default=4096)
     args = ap.parse_args()

@@ -126,6 +126,30 @@ def _ep_column_total_jmajor(d_rows, btj_flat, ct: int, P: int, HALF: int,
     return total
 
 
+def _ep_column_total_jmajor_packed(D, btj_flat, ct: int, P: int, HALF: int,
+                                   R: int):
+    """`_ep_column_total_jmajor` with the digits PRE-PACKED once per
+    chunk-step instead of re-concatenated per column tile.
+
+    D: [Bt, HALF*R*P] i8 — digit tiles ordered (sub DESCENDING, r minor),
+    i.e. column block b holds digit chunk sub = HALF-1 - b//R of GGSW row
+    r = b % R.  With that order, column tile ct's positive run (stored
+    blocks j = 0..ct pairing sub = ct-j, descending) is the contiguous
+    TAIL D[:, (HALF-1-ct)*R*P:], and the negative run (j = ct+1..HALF-1
+    pairing sub = HALF+ct-j, also descending) is the contiguous HEAD —
+    both dots slice one buffer, eliminating the 32-tile re-concat per tile
+    (the same digit data was copied HALF times per chunk-step in
+    _ep_column_total_jmajor).
+    """
+    split = (HALF - 1 - ct) * R * P
+    total = jnp.dot(D[:, split:], btj_flat[: (ct + 1) * R * P],
+                    preferred_element_type=I32)
+    if split:
+        total = total - jnp.dot(D[:, :split], btj_flat[(ct + 1) * R * P:],
+                                preferred_element_type=I32)
+    return total
+
+
 def _kernel(d_ref, bt_ref, out_ref, acc_ref, *, P: int, HALF: int,
             R: int, kp1: int, fused: bool, glwe_ref=None):
     """Grid (bc, r): one cell processes ALL column tiles of GGSW row-poly r

@@ -747,20 +747,21 @@ def _mega6_kernel(a_ref, acc0_ref, btj_ref, out_ref, acc_sc, *,
         for c in range(p.k + 1):
             v = acc_sc[g, c]
             rolled = v
-            if ablate != "norot":  # probe-only ablation, never the default
-                for bit in range(p.log2_2N):
-                    s = 1 << bit
-                    shifted = (
-                        _neg_shift(rolled, s, p.N) if s < p.N
-                        else jnp.zeros_like(rolled) - rolled
-                    )
-                    take_bit = (r_amt >> U32(bit)) & U32(1)
-                    mask = (U32(0) - take_bit)[:, None]
-                    rolled = jnp.where(
-                        jnp.broadcast_to(mask, rolled.shape) != U32(0),
-                        shifted, rolled)
-            else:
-                rolled = rolled + r_amt[:, None]
+            # probe-only ablation: "rot1" keeps a single barrel stage so
+            # (full - rot1) * S/(S-1) isolates the rotate cost without
+            # changing the code shape Mosaic sees; never the default.
+            nbits = 1 if ablate == "rot1" else p.log2_2N
+            for bit in range(nbits):
+                s = 1 << bit
+                shifted = (
+                    _neg_shift(rolled, s, p.N) if s < p.N
+                    else jnp.zeros_like(rolled) - rolled
+                )
+                take_bit = (r_amt >> U32(bit)) & U32(1)
+                mask = (U32(0) - take_bit)[:, None]
+                rolled = jnp.where(
+                    jnp.broadcast_to(mask, rolled.shape) != U32(0),
+                    shifted, rolled)
             diff = rolled - v
             val = ((diff + U32(1 << (32 - W - 1))) >> U32(32 - W)) \
                 + U32(offset)
@@ -871,6 +872,314 @@ def mega6_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
     )(a_t.reshape(p.n, 1, B), acc0, bsk_btj)
 
 
+def _mega7_kernel(a_ref, acc0_ref, btj_ref, out_ref, acc_sc, *,
+                  p: TFHEParams, P: int, HALF: int, R: int, G: int):
+    """mega-v7: mega6's staggering + PACKED digits.
+
+    The j-major contraction (`_ep_column_total_jmajor`) re-concatenates up
+    to HALF*R digit tiles into a fresh [Bt, K] i8 operand for EVERY column
+    tile — the same digit data is copied HALF times per chunk-step.  Here
+    the decompose writes ONE [Bt, HALF*R*P] buffer ordered (sub descending,
+    r minor); each column tile's positive and negative runs are then
+    contiguous slices of that buffer (`_ep_column_total_jmajor_packed`),
+    so digit data is materialized exactly once per chunk-step.
+    """
+    from herdsman_tpu.ops.pallas.blind_rotate import (
+        _ep_column_total_jmajor_packed,
+    )
+
+    i = pl.program_id(1)
+    Bt = acc_sc.shape[2]
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(G):
+            for c in range(p.k + 1):
+                acc_sc[g, c] = acc0_ref[g * Bt:(g + 1) * Bt, c, :]
+
+    W = p.bg_bits * p.levels
+    Bg = 1 << p.bg_bits
+    half = Bg >> 1
+    offset = sum(half << (p.bg_bits * t) for t in range(p.levels))
+    C4P = btj_ref.shape[-1]
+    btj_flat = btj_ref[0].reshape(HALF * R * P, C4P)
+
+    def compute_digits(g):
+        r_amt = a_ref[0, 0, g * Bt:(g + 1) * Bt].astype(U32)
+        tiles: dict[tuple[int, int], jax.Array] = {}
+        for c in range(p.k + 1):
+            v = acc_sc[g, c]
+            rolled = v
+            for bit in range(p.log2_2N):
+                s = 1 << bit
+                shifted = (
+                    _neg_shift(rolled, s, p.N) if s < p.N
+                    else jnp.zeros_like(rolled) - rolled
+                )
+                take_bit = (r_amt >> U32(bit)) & U32(1)
+                mask = (U32(0) - take_bit)[:, None]
+                rolled = jnp.where(
+                    jnp.broadcast_to(mask, rolled.shape) != U32(0),
+                    shifted, rolled)
+            diff = rolled - v
+            val = ((diff + U32(1 << (32 - W - 1))) >> U32(32 - W)) \
+                + U32(offset)
+            for lev in range(p.levels):
+                shift = p.bg_bits * (p.levels - 1 - lev)
+                d8 = (((val >> U32(shift)) & U32(Bg - 1)).astype(I32)
+                      - I32(half)).astype(I8)
+                row = c * p.levels + lev
+                for sub in range(HALF):
+                    tiles[(row, sub)] = d8[:, sub * P:(sub + 1) * P]
+        # pack once: (sub descending, r minor) -> [Bt, HALF*R*P]
+        return jnp.concatenate(
+            [tiles[(r, sub)]
+             for sub in range(HALF - 1, -1, -1) for r in range(R)],
+            axis=-1,
+        )
+
+    def combine_into(g, ct, total):
+        a = total.reshape(total.shape[0], p.k + 1, 4, P).astype(U32)
+        for c in range(p.k + 1):
+            combined = (
+                a[:, c, 0, :]
+                + (a[:, c, 1, :] << U32(8))
+                + (a[:, c, 2, :] << U32(16))
+                + (a[:, c, 3, :] << U32(24))
+            )
+            acc_sc[g, c, :, ct * P:(ct + 1) * P] = (
+                acc_sc[g, c, :, ct * P:(ct + 1) * P] + combined
+            )
+
+    def do_dots(g, D):
+        prev = None
+        for ct in range(HALF):
+            total = _ep_column_total_jmajor_packed(D, btj_flat, ct, P,
+                                                   HALF, R)
+            if prev is not None:
+                combine_into(g, prev[0], prev[1])
+            prev = (ct, total)
+        combine_into(g, prev[0], prev[1])
+
+    D = compute_digits(0)
+    for g in range(G):
+        D_next = compute_digits(g + 1) if g + 1 < G else None
+        do_dots(g, D)
+        D = D_next
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        for g in range(G):
+            for c in range(p.k + 1):
+                out_ref[g * Bt:(g + 1) * Bt, c, :] = acc_sc[g, c]
+
+
+def mega7_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
+                       bsk_btj: jax.Array) -> jax.Array:
+    """Same contract (and block geometry) as mega5/mega6_blind_rotate."""
+    import os
+    p = params
+    P, HALF = bt_tile(p)
+    R = (p.k + 1) * p.levels
+    B = acc0.shape[0]
+    Bt = B if B <= 128 else 128
+    assert B % Bt == 0, "pad batch to a multiple of 128 first"
+    BC = B // Bt
+    C4P = (p.k + 1) * 4 * P
+    acc_bytes = (p.k + 1) * Bt * p.N * 4
+    g_env = os.environ.get("HERDSMAN_MEGA_G")
+    G = int(g_env) if g_env else max(1, min(BC, (8 << 20) // acc_bytes))
+    while BC % G:
+        G -= 1
+    BO = BC // G
+
+    kwargs = {}
+    if jax.default_backend() == "tpu":
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    return pl.pallas_call(
+        functools.partial(_mega7_kernel, p=p, P=P, HALF=HALF, R=R, G=G),
+        grid=(BO, p.n),
+        in_specs=[
+            pl.BlockSpec((1, 1, G * Bt), lambda bo, i: (i, 0, bo),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * Bt, p.k + 1, p.N), lambda bo, i: (bo, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, HALF, R, P, C4P),
+                lambda bo, i: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((G * Bt, p.k + 1, p.N),
+                               lambda bo, i: (bo, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, p.k + 1, p.N), U32),
+        scratch_shapes=[
+            pltpu.VMEM((G, p.k + 1, Bt, p.N), U32),       # group acc
+        ],
+        interpret=jax.default_backend() != "tpu",
+        **kwargs,
+    )(a_t.reshape(p.n, 1, B), acc0, bsk_btj)
+
+
+def _mega8_kernel(a_ref, acc0_ref, btj2_ref, out_ref, acc_sc, *,
+                  p: TFHEParams, P: int, HALF: int, R: int, G: int):
+    """mega-v8: ONE MXU dot per column tile with a STATIONARY digit
+    operand and a SLIDING key window.
+
+    The ``bsk_btj2`` layout stores all 2*HALF negacyclic diagonal groups
+    in window order (group g = diagonal block (HALF-1-g) mod 2*HALF; the
+    negated blocks come from ext[t+N] = -ext[t] at key prep, so no i8
+    negation happens anywhere).  Column tile ct's whole contraction —
+    positive AND negative runs — is then
+
+        total = D @ btj2_flat[(HALF-1-ct)*R*P : (2*HALF-1-ct)*R*P]
+
+    with D the [Bt, HALF*R*P] digit buffer ordered (sub ASCENDING, r
+    minor), packed once per chunk-step.  vs mega7: half the dot count, no
+    i32 subtract, no per-tile digit slicing; cost: 2x key bytes
+    (6.4 GiB at STD128_FAST — fits v5e; at N=2048 shortint params it does
+    not, keep mega7 there).
+    """
+    i = pl.program_id(1)
+    Bt = acc_sc.shape[2]
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(G):
+            for c in range(p.k + 1):
+                acc_sc[g, c] = acc0_ref[g * Bt:(g + 1) * Bt, c, :]
+
+    W = p.bg_bits * p.levels
+    Bg = 1 << p.bg_bits
+    half = Bg >> 1
+    offset = sum(half << (p.bg_bits * t) for t in range(p.levels))
+    C4P = btj2_ref.shape[-1]
+    btj2_flat = btj2_ref[0].reshape(2 * HALF * R * P, C4P)
+
+    def compute_digits(g):
+        r_amt = a_ref[0, 0, g * Bt:(g + 1) * Bt].astype(U32)
+        tiles: dict[tuple[int, int], jax.Array] = {}
+        for c in range(p.k + 1):
+            v = acc_sc[g, c]
+            rolled = v
+            for bit in range(p.log2_2N):
+                s = 1 << bit
+                shifted = (
+                    _neg_shift(rolled, s, p.N) if s < p.N
+                    else jnp.zeros_like(rolled) - rolled
+                )
+                take_bit = (r_amt >> U32(bit)) & U32(1)
+                mask = (U32(0) - take_bit)[:, None]
+                rolled = jnp.where(
+                    jnp.broadcast_to(mask, rolled.shape) != U32(0),
+                    shifted, rolled)
+            diff = rolled - v
+            val = ((diff + U32(1 << (32 - W - 1))) >> U32(32 - W)) \
+                + U32(offset)
+            for lev in range(p.levels):
+                shift = p.bg_bits * (p.levels - 1 - lev)
+                d8 = (((val >> U32(shift)) & U32(Bg - 1)).astype(I32)
+                      - I32(half)).astype(I8)
+                row = c * p.levels + lev
+                for sub in range(HALF):
+                    tiles[(row, sub)] = d8[:, sub * P:(sub + 1) * P]
+        # pack once: (sub ASCENDING = virtual row-tile, r minor)
+        return jnp.concatenate(
+            [tiles[(r, sub)] for sub in range(HALF) for r in range(R)],
+            axis=-1,
+        )
+
+    def combine_into(g, ct, total):
+        a = total.reshape(total.shape[0], p.k + 1, 4, P).astype(U32)
+        for c in range(p.k + 1):
+            combined = (
+                a[:, c, 0, :]
+                + (a[:, c, 1, :] << U32(8))
+                + (a[:, c, 2, :] << U32(16))
+                + (a[:, c, 3, :] << U32(24))
+            )
+            acc_sc[g, c, :, ct * P:(ct + 1) * P] = (
+                acc_sc[g, c, :, ct * P:(ct + 1) * P] + combined
+            )
+
+    def do_dots(g, D):
+        prev = None
+        for ct in range(HALF):
+            o = (HALF - 1 - ct) * R * P
+            total = jnp.dot(D, btj2_flat[o:o + HALF * R * P],
+                            preferred_element_type=I32)
+            if prev is not None:
+                combine_into(g, prev[0], prev[1])
+            prev = (ct, total)
+        combine_into(g, prev[0], prev[1])
+
+    D = compute_digits(0)
+    for g in range(G):
+        D_next = compute_digits(g + 1) if g + 1 < G else None
+        do_dots(g, D)
+        D = D_next
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        for g in range(G):
+            for c in range(p.k + 1):
+                out_ref[g * Bt:(g + 1) * Bt, c, :] = acc_sc[g, c]
+
+
+def mega8_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
+                       bsk_btj2: jax.Array) -> jax.Array:
+    """Same contract as mega5/6/7 but consuming the windowed ``bsk_btj2``
+    key layout [n, 2*HALF, R, P, C4P]."""
+    import os
+    p = params
+    P, HALF = bt_tile(p)
+    R = (p.k + 1) * p.levels
+    B = acc0.shape[0]
+    Bt = B if B <= 128 else 128
+    assert B % Bt == 0, "pad batch to a multiple of 128 first"
+    BC = B // Bt
+    C4P = (p.k + 1) * 4 * P
+    acc_bytes = (p.k + 1) * Bt * p.N * 4
+    g_env = os.environ.get("HERDSMAN_MEGA_G")
+    G = int(g_env) if g_env else max(1, min(BC, (8 << 20) // acc_bytes))
+    while BC % G:
+        G -= 1
+    BO = BC // G
+
+    kwargs = {}
+    if jax.default_backend() == "tpu":
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    return pl.pallas_call(
+        functools.partial(_mega8_kernel, p=p, P=P, HALF=HALF, R=R, G=G),
+        grid=(BO, p.n),
+        in_specs=[
+            pl.BlockSpec((1, 1, G * Bt), lambda bo, i: (i, 0, bo),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * Bt, p.k + 1, p.N), lambda bo, i: (bo, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 2 * HALF, R, P, C4P),
+                lambda bo, i: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((G * Bt, p.k + 1, p.N),
+                               lambda bo, i: (bo, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, p.k + 1, p.N), U32),
+        scratch_shapes=[
+            pltpu.VMEM((G, p.k + 1, Bt, p.N), U32),       # group acc
+        ],
+        interpret=jax.default_backend() != "tpu",
+        **kwargs,
+    )(a_t.reshape(p.n, 1, B), acc0, bsk_btj2)
+
+
 def _register() -> None:
     bs.ROTATION_ENGINES = getattr(bs, "ROTATION_ENGINES", {})
     bs.ROTATION_ENGINES.setdefault("pallas_mega",
@@ -885,6 +1194,10 @@ def _register() -> None:
                                    (mega5_blind_rotate, "bsk_btj"))
     bs.ROTATION_ENGINES.setdefault("pallas_mega6",
                                    (mega6_blind_rotate, "bsk_btj"))
+    bs.ROTATION_ENGINES.setdefault("pallas_mega7",
+                                   (mega7_blind_rotate, "bsk_btj"))
+    bs.ROTATION_ENGINES.setdefault("pallas_mega8",
+                                   (mega8_blind_rotate, "bsk_btj2"))
 
 
 _register()

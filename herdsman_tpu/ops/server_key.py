@@ -70,6 +70,7 @@ class DeviceServerKey:
     ksk_limbs: Any     # i8  [kN*ks_levels, (n+1)*4]
     ksk: Any           # u32 [kN, ks_levels, n+1] (fallback engine)
     bsk_btj: Any = None  # i8 [n, HALF, R, P, (k+1)*4*P] j-major BT (mega3)
+    bsk_btj2: Any = None  # i8 [n, 2*HALF, R, P, (k+1)*4*P] windowed (mega8)
 
     @property
     def R(self) -> int:
@@ -116,6 +117,10 @@ def device_server_key(
         else:
             bsk_btj = _block_toeplitz_layout_device(p, ext, j_major=True)
 
+    bsk_btj2 = None
+    if "bsk_btj2" in layouts:
+        bsk_btj2 = _block_toeplitz_layout_device(p, ext, windowed=True)
+
     ksk = sk.ksk  # [kN, t, n+1] u32
     ksk_limbs = _np_i8_limbs(ksk).reshape(p.kN * p.ks_levels, (p.n + 1) * 4)
 
@@ -127,14 +132,17 @@ def device_server_key(
         ksk_limbs=jnp.asarray(ksk_limbs),
         ksk=jnp.asarray(ksk) if "ksk" in layouts else None,
         bsk_btj=bsk_btj,
+        bsk_btj2=bsk_btj2,
     )
 
 
 def layouts_for_engine(engine: str) -> tuple[str, ...]:
     """Key layout(s) an engine consumes (single source of truth — used by
     the eager API, shortint, the coordinator and bench)."""
+    if engine == "pallas_mega8":
+        return ("bsk_btj2",)
     if engine in ("pallas_mega3", "pallas_mega4", "pallas_mega5",
-                  "pallas_mega6"):
+                  "pallas_mega6", "pallas_mega7"):
         return ("bsk_btj",)
     if engine.startswith("pallas"):
         return ("bsk_bt",)
@@ -176,7 +184,8 @@ def _block_toeplitz_layout(p: TFHEParams, ext: np.ndarray) -> np.ndarray:
 
 
 def _block_toeplitz_layout_device(p: TFHEParams, ext: np.ndarray,
-                                  j_major: bool = False) -> jax.Array:
+                                  j_major: bool = False,
+                                  windowed: bool = False) -> jax.Array:
     """`_block_toeplitz_layout` computed ON DEVICE: ships only ext
     (n*R*(k+1)*2N u32, ~50 MB at STD128_FAST) and expands with a jitted
     per-step gather + limb split (`lax.map` over the n steps), writing the
@@ -187,21 +196,41 @@ def _block_toeplitz_layout_device(p: TFHEParams, ext: np.ndarray,
     """
     n, R, kp1, twoN = ext.shape
     P, HALF = bt_tile(p)
-    m_idx = np.arange(HALF)[:, None, None]
-    p_idx = np.arange(P)[None, :, None]
-    q_idx = np.arange(P)[None, None, :]
-    idx = jnp.asarray((P * m_idx + q_idx - p_idx) % twoN)  # [HALF, P, P]
     shifts = jnp.asarray([0, 8, 16, 24], dtype=jnp.uint32)
 
     def one(e: jax.Array) -> jax.Array:  # e [R, kp1, 2N] u32
-        blocks = e[:, :, idx]  # [R, kp1, HALF, P, P] u32
+        # blocks[m, p_row, q] = e[(P*m + q - p_row) mod 2N].  A gather with
+        # that index set is ~1 elem/cycle on the TPU (hundreds of seconds
+        # for a production key); but for FIXED p_row it is a contiguous
+        # slice of the doubled poly, so build it as P static slices instead
+        # (zero gather work, pure data movement).
+        span = twoN if windowed else p.N
+        M = 2 * HALF if windowed else HALF
+        ed = jnp.concatenate([e, e], axis=-1)  # [R, kp1, 4N]
+        rows = jnp.stack(
+            [jax.lax.slice_in_dim(ed, twoN - pr, twoN - pr + span, axis=-1)
+             for pr in range(P)],
+            axis=2,
+        )  # [R, kp1, P, span]; [..., pr, t] = e[(t - pr) mod 2N]
+        blocks = jnp.swapaxes(
+            rows.reshape(R, kp1, P, M, P), 2, 3
+        )  # [R, kp1, M, P, P] u32
+        if windowed:
+            # sliding-window group order for pallas_mega8: group g holds
+            # diagonal block m = (HALF-1-g) mod 2*HALF, so column tile ct's
+            # whole contraction (positive run j <= ct, negated run j > ct —
+            # block m = j + HALF IS -block m = j via ext[t+N] = -ext[t]) is
+            # the contiguous groups [HALF-1-ct, 2*HALF-1-ct).
+            order = jnp.asarray([(HALF - 1 - g) % (2 * HALF)
+                                 for g in range(2 * HALF)])
+            blocks = jnp.take(blocks, order, axis=2)
         u = blocks + jnp.uint32(0x80808080)
         limbs = ((u[..., None] >> shifts) & jnp.uint32(0xFF)).astype(
-            jnp.int32) - 128  # [R, kp1, HALF, P, P, 4]
-        if j_major:
+            jnp.int32) - 128  # [R, kp1, M, P, P, 4]
+        if j_major or windowed:
             reord = jnp.transpose(limbs.astype(jnp.int8), (2, 0, 3, 1, 5, 4))
-            return reord.reshape(HALF, R, P, kp1 * 4 * P)
+            return reord.reshape(M, R, P, kp1 * 4 * P)
         reord = jnp.transpose(limbs.astype(jnp.int8), (0, 2, 3, 1, 5, 4))
-        return reord.reshape(R, HALF, P, kp1 * 4 * P)
+        return reord.reshape(R, M, P, kp1 * 4 * P)
 
     return jax.jit(lambda x: jax.lax.map(one, x))(jnp.asarray(ext))

@@ -42,11 +42,9 @@ def main() -> None:
         engine, _, kv = spec.partition(":")
         env = dict(item.split("=") for item in kv.split(";") if item)
         entries.append((spec, engine, env))
+    from herdsman_tpu.ops.server_key import layouts_for_engine
     layouts = tuple(sorted({
-        "bsk_btj" if e in ("pallas_mega3", "pallas_mega4", "pallas_mega5",
-                           "pallas_mega6")
-        else "bsk_bt"
-        for _, e, _env in entries
+        lay for _, e, _env in entries for lay in layouts_for_engine(e)
     }))
     ck, sk = get_keys(args.params)
     t0 = time.time()
@@ -72,7 +70,12 @@ def main() -> None:
         jax.clear_caches()
         fn = lambda c, e=engine: bs.bootstrap_bool_batch(dsk, c, engine=e)
         t0 = time.time()
-        out = np.asarray(fn(ct0))
+        try:
+            out = np.asarray(fn(ct0))
+        except Exception as e:  # a failed entry must not kill the session
+            print(f"{spec:22s} FAILED: {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:120]}", flush=True)
+            continue
         compile_s = time.time() - t0
         got = ref.lwe_decrypt_bool(ck, out)
         n_bad = int((got != bits0).sum())

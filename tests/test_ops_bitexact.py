@@ -18,7 +18,7 @@ U32 = np.uint32
 
 ENGINES = ["gather_u32", "conv_i8", "pallas_bt", "pallas_fused",
            "pallas_mega", "pallas_mega2", "pallas_mega3", "pallas_mega4",
-           "pallas_mega5", "pallas_mega6"]
+           "pallas_mega5", "pallas_mega6", "pallas_mega7", "pallas_mega8"]
 # scan/jit-wrapped paths skip pallas engines on CPU (interpret-in-scan is
 # pathologically slow to compile); pallas coverage comes from the unrolled
 # blind-rotate/bootstrap tests above + TPU benches
@@ -29,7 +29,7 @@ ENGINES_XLA = ["gather_u32", "conv_i8"]
 def toy_device_key(toy_keys):
     _, sk, _ = toy_keys
     return device_server_key(
-        sk, layouts=("bsk_ext", "bsk_conv", "bsk_bt", "bsk_btj")
+        sk, layouts=("bsk_ext", "bsk_conv", "bsk_bt", "bsk_btj", "bsk_btj2")
     )
 
 
@@ -116,7 +116,8 @@ def test_blind_rotate_bitexact(toy_keys, toy_device_key, engine):
 
 
 @pytest.mark.parametrize("engine", ["pallas_mega4", "pallas_mega5",
-                                    "pallas_mega6"])
+                                    "pallas_mega6", "pallas_mega7",
+                                    "pallas_mega8"])
 @pytest.mark.parametrize("g_env", ["2", "1"])
 def test_mega_multichunk_bitexact(toy_keys, toy_device_key, engine, g_env,
                                   monkeypatch):
@@ -340,3 +341,27 @@ def test_bt_layout_device_matches_host(small_keys):
     # construction paths in device_server_key must agree)
     devj = np.asarray(skm._block_toeplitz_layout_device(p, ext, j_major=True))
     np.testing.assert_array_equal(devj, host.transpose(0, 2, 1, 3, 4))
+
+
+# HALF > 1 coverage for the windowed/packed mega kernels: TOY has N = 64
+# (P = 64, HALF = 1), which degenerates mega7's descending-sub packing and
+# mega8's sliding key window to trivial cases.  N = 256 gives P = 128,
+# HALF = 2; n is cut to 8 steps to keep interpret-mode pallas fast.
+import dataclasses as _dc
+
+MULTITILE = _dc.replace(TOY, name="toy_multitile", n=8, N=256)
+
+
+@pytest.mark.parametrize("engine", ["pallas_mega5", "pallas_mega6",
+                                    "pallas_mega7", "pallas_mega8"])
+def test_mega_multitile_bitexact(engine):
+    rng = np.random.default_rng(11)
+    ck, sk = ref.keygen(MULTITILE, rng)
+    dsk = device_server_key(sk, layouts=("bsk_btj", "bsk_btj2"))
+    ct = rand_u32(rng, 3, MULTITILE.n + 1)
+    tp = bs.make_test_poly(MULTITILE)
+    got = np.asarray(bs.blind_rotate_batch(
+        dsk, jnp.asarray(ct), tp, engine=engine, unroll=True))
+    for i in range(3):
+        expect = ref.blind_rotate(sk, ct[i], np.asarray(tp))
+        np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
