@@ -233,8 +233,32 @@ STD128_SHORTINT_FAST = TFHEParams(
     security_bits=128,
 )
 
+# MXU-economics variant: same lattice dimension kN = 1024 (so the same
+# 128-bit GLWE security and the same extracted-LWE/key-switch shapes as
+# STD128/STD128_FAST) re-shaped as k = 2, N = 512.  External-product MACs
+# scale as (k+1)^2/k^2 * l * (kN)^2: k=2 needs (3/2)^2/(2/1)^2 = 0.5625x
+# the MACs of k=1 at equal l — a 1.78x speed-of-light raise, the single
+# biggest throughput lever at fixed security.  The price is one fewer bit
+# of blind-rotation precision (2N = 1024): the mod-switch noise component
+# doubles, so the decision margin drops from STD128_FAST's measured 13.9
+# sigma to ~7 sigma (~1e-12/gate, tfhe-rs-class p_fail) — measured
+# empirically by `bench.py --metric noise --params std128_k2`.
+STD128_K2 = TFHEParams(
+    name="std128_k2",
+    n=768,
+    lwe_std=float(2 ** 14),
+    N=512,
+    k=2,
+    glwe_std=128.0,
+    bg_bits=8,
+    levels=2,
+    ks_base_bits=3,
+    ks_levels=5,
+    security_bits=128,
+)
+
 PARAM_SETS = {
     p.name: p
     for p in (TOY, TEST_SMALL, TEST_PBS, STD128, STD128_FAST,
-              STD128_SHORTINT, STD128_SHORTINT_FAST)
+              STD128_SHORTINT, STD128_SHORTINT_FAST, STD128_K2)
 }

@@ -1025,7 +1025,8 @@ def mega7_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
 
 
 def _mega8_kernel(a_ref, acc0_ref, btj2_ref, out_ref, acc_sc, *,
-                  p: TFHEParams, P: int, HALF: int, R: int, G: int):
+                  p: TFHEParams, P: int, HALF: int, R: int, G: int,
+                  ablate: str = "", defer: bool = False):
     """mega-v8: ONE MXU dot per column tile with a STATIONARY digit
     operand and a SLIDING key window.
 
@@ -1065,7 +1066,10 @@ def _mega8_kernel(a_ref, acc0_ref, btj2_ref, out_ref, acc_sc, *,
         for c in range(p.k + 1):
             v = acc_sc[g, c]
             rolled = v
-            for bit in range(p.log2_2N):
+            # probe-only ablation "rot1": a single barrel stage, isolating
+            # the rotate cost as (full - rot1) * S/(S-1)
+            nbits = 1 if ablate == "rot1" else p.log2_2N
+            for bit in range(nbits):
                 s = 1 << bit
                 shifted = (
                     _neg_shift(rolled, s, p.N) if s < p.N
@@ -1105,22 +1109,67 @@ def _mega8_kernel(a_ref, acc0_ref, btj2_ref, out_ref, acc_sc, *,
                 acc_sc[g, c, :, ct * P:(ct + 1) * P] + combined
             )
 
+    def cheap_consume(g, ct, total):
+        # probe-only: keep EVERY output column live (a partial consume
+        # lets XLA shrink the dot itself and fake the measurement)
+        s = total[:, 0:P]
+        for t in range(1, total.shape[-1] // P):
+            s = s + total[:, t * P:(t + 1) * P]
+        acc_sc[g, 0, :, ct * P:(ct + 1) * P] = (
+            acc_sc[g, 0, :, ct * P:(ct + 1) * P] + s.astype(U32)
+        )
+
     def do_dots(g, D):
+        if ablate == "nodot":  # probe-only: consume all of D, no MXU
+            s = D[:, 0:P]
+            for t in range(1, HALF * R):
+                s = s + D[:, t * P:(t + 1) * P]
+            for c in range(p.k + 1):
+                acc_sc[g, c, :, 0:P] = (
+                    acc_sc[g, c, :, 0:P] + s.astype(U32)
+                )
+            return
         prev = None
         for ct in range(HALF):
             o = (HALF - 1 - ct) * R * P
             total = jnp.dot(D, btj2_flat[o:o + HALF * R * P],
                             preferred_element_type=I32)
+            if ablate == "nocombine":
+                cheap_consume(g, ct, total)
+                continue
             if prev is not None:
                 combine_into(g, prev[0], prev[1])
             prev = (ct, total)
-        combine_into(g, prev[0], prev[1])
+        if ablate != "nocombine":
+            combine_into(g, prev[0], prev[1])
 
-    D = compute_digits(0)
-    for g in range(G):
-        D_next = compute_digits(g + 1) if g + 1 < G else None
-        do_dots(g, D)
-        D = D_next
+    def dots_only(g, D):
+        return [jnp.dot(D, btj2_flat[(HALF - 1 - ct) * R * P:
+                                     (2 * HALF - 1 - ct) * R * P],
+                        preferred_element_type=I32)
+                for ct in range(HALF)]
+
+    if defer:
+        # chunk-deferred combines: issue ALL of chunk g's dots before doing
+        # chunk g-1's combines + chunk g+1's rotate/decompose, so the MXU
+        # queue always holds a full chunk of dots while the VPU works
+        D = compute_digits(0)
+        pend = None
+        for g in range(G):
+            totals = dots_only(g, D)
+            if pend is not None:
+                for ct in range(HALF):
+                    combine_into(pend[0], ct, pend[1][ct])
+            pend = (g, totals)
+            D = compute_digits(g + 1) if g + 1 < G else None
+        for ct in range(HALF):
+            combine_into(pend[0], ct, pend[1][ct])
+    else:
+        D = compute_digits(0)
+        for g in range(G):
+            D_next = compute_digits(g + 1) if g + 1 < G else None
+            do_dots(g, D)
+            D = D_next
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _():
@@ -1149,13 +1198,16 @@ def mega8_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
         G -= 1
     BO = BC // G
 
+    ablate = os.environ.get("HERDSMAN_MEGA_ABLATE", "")
+    defer = os.environ.get("HERDSMAN_MEGA_DEFER", "") == "1"
     kwargs = {}
     if jax.default_backend() == "tpu":
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         )
     return pl.pallas_call(
-        functools.partial(_mega8_kernel, p=p, P=P, HALF=HALF, R=R, G=G),
+        functools.partial(_mega8_kernel, p=p, P=P, HALF=HALF, R=R, G=G,
+                          ablate=ablate, defer=defer),
         grid=(BO, p.n),
         in_specs=[
             pl.BlockSpec((1, 1, G * Bt), lambda bo, i: (i, 0, bo),

@@ -365,3 +365,45 @@ def test_mega_multitile_bitexact(engine):
     for i in range(3):
         expect = ref.blind_rotate(sk, ct[i], np.asarray(tp))
         np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
+
+
+# k = 2 GLWE coverage (STD128_K2-shaped): every production set so far was
+# k = 1, so the (k+1)-generic paths (3 output polys, R = 3*levels GGSW
+# rows, C4P = 3*4*P key columns) had no test pressure.  N = 256 keeps
+# HALF = 2 (window/packing paths live) and n = 8 keeps interpret fast.
+MULTITILE_K2 = _dc.replace(TOY, name="toy_k2", n=8, N=256, k=2)
+
+
+@pytest.mark.parametrize("engine", ["gather_u32", "conv_i8", "pallas_fused",
+                                    "pallas_mega5", "pallas_mega7",
+                                    "pallas_mega8"])
+def test_k2_blind_rotate_bitexact(engine):
+    rng = np.random.default_rng(21)
+    ck, sk = ref.keygen(MULTITILE_K2, rng)
+    dsk = device_server_key(
+        sk, layouts=("bsk_ext", "bsk_conv", "bsk_bt", "bsk_btj", "bsk_btj2"))
+    ct = rand_u32(rng, 3, MULTITILE_K2.n + 1)
+    tp = bs.make_test_poly(MULTITILE_K2)
+    got = np.asarray(bs.blind_rotate_batch(
+        dsk, jnp.asarray(ct), tp, engine=engine,
+        unroll=engine.startswith("pallas")))
+    for i in range(3):
+        expect = ref.blind_rotate(sk, ct[i], np.asarray(tp))
+        np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
+
+
+def test_k2_full_bootstrap_decrypts():
+    rng = np.random.default_rng(22)
+    ck, sk = ref.keygen(MULTITILE_K2, rng)
+    dsk = device_server_key(sk, layouts=("bsk_btj2",))
+    bits = np.array([True, False, True, True])
+    ct = ref.encrypt_bool(ck, bits, rng)
+    acc = bs.blind_rotate_batch(dsk, jnp.asarray(ct),
+                                bs.make_test_poly(MULTITILE_K2),
+                                engine="pallas_mega8", unroll=True)
+    raw = bs.sample_extract_batch(MULTITILE_K2, acc)
+    got = np.asarray(bs.key_switch_batch(dsk, raw))
+    for i in range(len(bits)):
+        expect = ref.bootstrap_bool(sk, ct[i])
+        np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
+        assert ref.lwe_decrypt_bool(ck, got[i]) == bits[i]
