@@ -4,10 +4,11 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Default configuration: STD128_FAST (n=768, N=1024, Bg=2^8, l=2) — 128-bit
-security with an on-hardware-measured 13.9-sigma decision margin (~1e-43
-per-gate failure; docs/BENCH_LOG.md); `--params std128` selects the
-classic Bg=2^7,l=3 gadget.
+Default configuration: STD128_K2 (n=768, GLWE k=2 x N=512 — the same
+kN=1024 lattice dimension and noise as STD128/STD128_FAST, so the same
+128-bit security, at 1.78x fewer external-product MACs) with an
+on-hardware-measured 15.9-sigma decision margin (docs/BENCH_LOG.md);
+`--params std128_fast` / `--params std128` select the k=1 sets.
 
 Baseline (BASELINE.md): the reference publishes no numbers; the north star is
 ">=10x bootstraps/sec over a 64-core CPU herd on 16 chips". Literature anchor
@@ -329,10 +330,10 @@ def main() -> None:
     ap.add_argument("--metric", default="bootstrap",
                     choices=["bootstrap", "rns", "noise", "shortint",
                              "radix", "scaling"])
-    ap.add_argument("--params", default="std128_fast")
+    ap.add_argument("--params", default="std128_k2")
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--engine", default=os.environ.get("HERDSMAN_BENCH_ENGINE",
-                                                       "pallas_mega7"))
+                                                       "pallas_mega8"))
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--ntt-n", type=int, default=4096)
     args = ap.parse_args()

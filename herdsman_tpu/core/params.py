@@ -237,12 +237,12 @@ STD128_SHORTINT_FAST = TFHEParams(
 # 128-bit GLWE security and the same extracted-LWE/key-switch shapes as
 # STD128/STD128_FAST) re-shaped as k = 2, N = 512.  External-product MACs
 # scale as (k+1)^2/k^2 * l * (kN)^2: k=2 needs (3/2)^2/(2/1)^2 = 0.5625x
-# the MACs of k=1 at equal l — a 1.78x speed-of-light raise, the single
-# biggest throughput lever at fixed security.  The price is one fewer bit
-# of blind-rotation precision (2N = 1024): the mod-switch noise component
-# doubles, so the decision margin drops from STD128_FAST's measured 13.9
-# sigma to ~7 sigma (~1e-12/gate, tfhe-rs-class p_fail) — measured
-# empirically by `bench.py --metric noise --params std128_k2`.
+# the MACs of k=1 at equal l — a 1.78x speed-of-light raise at fixed
+# security.  Measured on hardware (`bench.py --metric noise`):
+# 15.9-sigma decision margin — BETTER than STD128_FAST's 13.9 (the
+# (k+1)*N-proportional BSK noise term shrinks more than the mod-switch
+# term grows from the halved 2N = 1024 rotation window).  6866 gate
+# bootstraps/s/chip with pallas_mega8 (+45% over FAST) — the headline set.
 STD128_K2 = TFHEParams(
     name="std128_k2",
     n=768,
@@ -257,8 +257,27 @@ STD128_K2 = TFHEParams(
     security_bits=128,
 )
 
+# One step further along the same curve: k = 4, N = 256 (kN = 1024 still).
+# MACs scale by (5/4)^2/(3/2)^2 = 0.694x vs K2 (2.56x fewer than k=1) —
+# speed-of-light ~19.6k bootstraps/s/chip on v5e.  The 2N = 512 rotation
+# window costs another mod-switch bit; margin measured empirically before
+# any promotion (K2's measured 15.9 sigma suggests ~8-11 here).
+STD128_K4 = TFHEParams(
+    name="std128_k4",
+    n=768,
+    lwe_std=float(2 ** 14),
+    N=256,
+    k=4,
+    glwe_std=128.0,
+    bg_bits=8,
+    levels=2,
+    ks_base_bits=3,
+    ks_levels=5,
+    security_bits=128,
+)
+
 PARAM_SETS = {
     p.name: p
     for p in (TOY, TEST_SMALL, TEST_PBS, STD128, STD128_FAST,
-              STD128_SHORTINT, STD128_SHORTINT_FAST, STD128_K2)
+              STD128_SHORTINT, STD128_SHORTINT_FAST, STD128_K2, STD128_K4)
 }

@@ -372,12 +372,16 @@ def test_mega_multitile_bitexact(engine):
 # rows, C4P = 3*4*P key columns) had no test pressure.  N = 256 keeps
 # HALF = 2 (window/packing paths live) and n = 8 keeps interpret fast.
 MULTITILE_K2 = _dc.replace(TOY, name="toy_k2", n=8, N=256, k=2)
+MULTITILE_K4 = _dc.replace(TOY, name="toy_k4", n=8, N=256, k=4)
 
 
+@pytest.mark.parametrize("kparams", [MULTITILE_K2, MULTITILE_K4],
+                         ids=["k2", "k4"])
 @pytest.mark.parametrize("engine", ["gather_u32", "conv_i8", "pallas_fused",
                                     "pallas_mega5", "pallas_mega7",
                                     "pallas_mega8"])
-def test_k2_blind_rotate_bitexact(engine):
+def test_k2_blind_rotate_bitexact(engine, kparams):
+    MULTITILE_K2 = kparams
     rng = np.random.default_rng(21)
     ck, sk = ref.keygen(MULTITILE_K2, rng)
     dsk = device_server_key(
