@@ -325,6 +325,25 @@ def bench_scaling(args) -> None:
     }))
 
 
+def _fit_engine_to_params(args) -> None:
+    """mega8/9's windowed bsk_btj2 layout doubles the key (all 2*HALF
+    diagonal groups); at N = 2048 shortint params that is ~19 GiB — over
+    v5e HBM.  Fall back to mega7 (single-width bsk_btj) when it won't fit."""
+    if args.engine not in ("pallas_mega8", "pallas_mega9"):
+        return
+    from herdsman_tpu.core import PARAM_SETS
+
+    p = PARAM_SETS[args.params]
+    P = min(128, p.N)
+    btj2_bytes = p.n * 2 * (p.N // P) * (p.k + 1) * p.levels * P \
+        * (p.k + 1) * 4 * P
+    if btj2_bytes > 12 * (1 << 30):
+        log(f"{args.engine}: bsk_btj2 would be "
+            f"{btj2_bytes / (1 << 30):.1f} GiB at {args.params}; "
+            "falling back to pallas_mega7")
+        args.engine = "pallas_mega7"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--metric", default="bootstrap",
@@ -344,22 +363,18 @@ def main() -> None:
     if args.metric == "noise":
         bench_noise(args)
         return
-    if args.metric == "shortint":
-        if args.params == "std128_fast":
+    if args.metric in ("shortint", "radix"):
+        if not args.params.startswith("std128_shortint"):
             args.params = "std128_shortint"  # PBS-safe slot margins
-            log("shortint metric: params -> std128_shortint")
-        bench_shortint(args)
-        return
-    if args.metric == "radix":
-        if args.params == "std128_fast":
-            args.params = "std128_shortint"  # PBS-safe slot margins
-            log("radix metric: params -> std128_shortint")
-        bench_radix(args)
+            log(f"{args.metric} metric: params -> std128_shortint")
+        _fit_engine_to_params(args)
+        (bench_shortint if args.metric == "shortint" else bench_radix)(args)
         return
     if args.metric == "scaling":
         bench_scaling(args)
         return
 
+    _fit_engine_to_params(args)
     try:
         bench_bootstrap(args)
     except Exception as e:  # noqa: BLE001 — headline must always print

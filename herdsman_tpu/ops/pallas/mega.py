@@ -1232,6 +1232,152 @@ def mega8_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
     )(a_t.reshape(p.n, 1, B), acc0, bsk_btj2)
 
 
+
+def _mega9_kernel(a_ref, acc0_ref, btj2_ref, out_ref, *acc_refs,
+                  p: TFHEParams, P: int, HALF: int, R: int, G: int):
+    """mega-v9: mega8 with ONE VMEM SCRATCH PER CHUNK instead of a single
+    [G, ...] scratch.  The per-chunk dependency chains (rotate/decompose ->
+    dot -> recombine) are already independent across chunks, but with one
+    shared scratch buffer Mosaic's alias analysis must serialize the
+    combine writes of chunk g against the rotate reads of chunk g+1;
+    distinct buffers make the independence structural, so the scheduler is
+    free to co-issue chunk g+1's VPU stream under chunk g's pending MXU
+    dots (the measured ~50% non-MXU time that never overlapped)."""
+    i = pl.program_id(1)
+    Bt = acc_refs[0].shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(G):
+            for c in range(p.k + 1):
+                acc_refs[g][c] = acc0_ref[g * Bt:(g + 1) * Bt, c, :]
+
+    W = p.bg_bits * p.levels
+    Bg = 1 << p.bg_bits
+    half = Bg >> 1
+    offset = sum(half << (p.bg_bits * t) for t in range(p.levels))
+    C4P = btj2_ref.shape[-1]
+    btj2_flat = btj2_ref[0].reshape(2 * HALF * R * P, C4P)
+
+    def compute_digits(g):
+        r_amt = a_ref[0, 0, g * Bt:(g + 1) * Bt].astype(U32)
+        tiles = {}
+        for c in range(p.k + 1):
+            v = acc_refs[g][c]
+            rolled = v
+            for bit in range(p.log2_2N):
+                sft = 1 << bit
+                shifted = (
+                    _neg_shift(rolled, sft, p.N) if sft < p.N
+                    else jnp.zeros_like(rolled) - rolled
+                )
+                take_bit = (r_amt >> U32(bit)) & U32(1)
+                mask = (U32(0) - take_bit)[:, None]
+                rolled = jnp.where(
+                    jnp.broadcast_to(mask, rolled.shape) != U32(0),
+                    shifted, rolled)
+            diff = rolled - v
+            val = ((diff + U32(1 << (32 - W - 1))) >> U32(32 - W)) \
+                + U32(offset)
+            for lev in range(p.levels):
+                sh = p.bg_bits * (p.levels - 1 - lev)
+                d8 = (((val >> U32(sh)) & U32(Bg - 1)).astype(I32)
+                      - I32(half)).astype(I8)
+                row = c * p.levels + lev
+                for sub in range(HALF):
+                    tiles[(row, sub)] = d8[:, sub * P:(sub + 1) * P]
+        return jnp.concatenate(
+            [tiles[(r, sub)] for sub in range(HALF) for r in range(R)],
+            axis=-1,
+        )
+
+    def combine_into(g, ct, total):
+        a = total.reshape(total.shape[0], p.k + 1, 4, P).astype(U32)
+        for c in range(p.k + 1):
+            combined = (
+                a[:, c, 0, :]
+                + (a[:, c, 1, :] << U32(8))
+                + (a[:, c, 2, :] << U32(16))
+                + (a[:, c, 3, :] << U32(24))
+            )
+            acc_refs[g][c, :, ct * P:(ct + 1) * P] = (
+                acc_refs[g][c, :, ct * P:(ct + 1) * P] + combined
+            )
+
+    def do_dots(g, D):
+        prev = None
+        for ct in range(HALF):
+            o = (HALF - 1 - ct) * R * P
+            total = jnp.dot(D, btj2_flat[o:o + HALF * R * P],
+                            preferred_element_type=I32)
+            if prev is not None:
+                combine_into(g, prev[0], prev[1])
+            prev = (ct, total)
+        combine_into(g, prev[0], prev[1])
+
+    D = compute_digits(0)
+    for g in range(G):
+        D_next = compute_digits(g + 1) if g + 1 < G else None
+        do_dots(g, D)
+        D = D_next
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        for g in range(G):
+            for c in range(p.k + 1):
+                out_ref[g * Bt:(g + 1) * Bt, c, :] = acc_refs[g][c]
+
+
+def mega9_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
+                       bsk_btj2: jax.Array) -> jax.Array:
+    """Same contract as mega8_blind_rotate (windowed bsk_btj2 layout)."""
+    import os
+    p = params
+    P, HALF = bt_tile(p)
+    R = (p.k + 1) * p.levels
+    B = acc0.shape[0]
+    Bt = B if B <= 128 else 128
+    assert B % Bt == 0, "pad batch to a multiple of 128 first"
+    BC = B // Bt
+    C4P = (p.k + 1) * 4 * P
+    acc_bytes = (p.k + 1) * Bt * p.N * 4
+    g_env = os.environ.get("HERDSMAN_MEGA_G")
+    G = int(g_env) if g_env else max(1, min(BC, (8 << 20) // acc_bytes))
+    while BC % G:
+        G -= 1
+    BO = BC // G
+
+    kwargs = {}
+    if jax.default_backend() == "tpu":
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    return pl.pallas_call(
+        functools.partial(_mega9_kernel, p=p, P=P, HALF=HALF, R=R, G=G),
+        grid=(BO, p.n),
+        in_specs=[
+            pl.BlockSpec((1, 1, G * Bt), lambda bo, i: (i, 0, bo),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * Bt, p.k + 1, p.N), lambda bo, i: (bo, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 2 * HALF, R, P, C4P),
+                lambda bo, i: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((G * Bt, p.k + 1, p.N),
+                               lambda bo, i: (bo, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, p.k + 1, p.N), U32),
+        scratch_shapes=[
+            pltpu.VMEM((p.k + 1, Bt, p.N), U32) for _ in range(G)
+        ],
+        interpret=jax.default_backend() != "tpu",
+        **kwargs,
+    )(a_t.reshape(p.n, 1, B), acc0, bsk_btj2)
+
+
 def _register() -> None:
     bs.ROTATION_ENGINES = getattr(bs, "ROTATION_ENGINES", {})
     bs.ROTATION_ENGINES.setdefault("pallas_mega",
@@ -1250,6 +1396,8 @@ def _register() -> None:
                                    (mega7_blind_rotate, "bsk_btj"))
     bs.ROTATION_ENGINES.setdefault("pallas_mega8",
                                    (mega8_blind_rotate, "bsk_btj2"))
+    bs.ROTATION_ENGINES.setdefault("pallas_mega9",
+                                   (mega9_blind_rotate, "bsk_btj2"))
 
 
 _register()

@@ -139,7 +139,7 @@ def device_server_key(
 def layouts_for_engine(engine: str) -> tuple[str, ...]:
     """Key layout(s) an engine consumes (single source of truth — used by
     the eager API, shortint, the coordinator and bench)."""
-    if engine == "pallas_mega8":
+    if engine in ("pallas_mega8", "pallas_mega9"):
         return ("bsk_btj2",)
     if engine in ("pallas_mega3", "pallas_mega4", "pallas_mega5",
                   "pallas_mega6", "pallas_mega7"):

@@ -18,7 +18,8 @@ U32 = np.uint32
 
 ENGINES = ["gather_u32", "conv_i8", "pallas_bt", "pallas_fused",
            "pallas_mega", "pallas_mega2", "pallas_mega3", "pallas_mega4",
-           "pallas_mega5", "pallas_mega6", "pallas_mega7", "pallas_mega8"]
+           "pallas_mega5", "pallas_mega6", "pallas_mega7", "pallas_mega8",
+           "pallas_mega9"]
 # scan/jit-wrapped paths skip pallas engines on CPU (interpret-in-scan is
 # pathologically slow to compile); pallas coverage comes from the unrolled
 # blind-rotate/bootstrap tests above + TPU benches
@@ -117,7 +118,7 @@ def test_blind_rotate_bitexact(toy_keys, toy_device_key, engine):
 
 @pytest.mark.parametrize("engine", ["pallas_mega4", "pallas_mega5",
                                     "pallas_mega6", "pallas_mega7",
-                                    "pallas_mega8"])
+                                    "pallas_mega8", "pallas_mega9"])
 @pytest.mark.parametrize("g_env", ["2", "1"])
 def test_mega_multichunk_bitexact(toy_keys, toy_device_key, engine, g_env,
                                   monkeypatch):
@@ -379,7 +380,7 @@ MULTITILE_K4 = _dc.replace(TOY, name="toy_k4", n=8, N=256, k=4)
                          ids=["k2", "k4"])
 @pytest.mark.parametrize("engine", ["gather_u32", "conv_i8", "pallas_fused",
                                     "pallas_mega5", "pallas_mega7",
-                                    "pallas_mega8"])
+                                    "pallas_mega8", "pallas_mega9"])
 def test_k2_blind_rotate_bitexact(engine, kparams):
     MULTITILE_K2 = kparams
     rng = np.random.default_rng(21)
