@@ -350,7 +350,7 @@ def main() -> None:
                     choices=["bootstrap", "rns", "noise", "shortint",
                              "radix", "scaling"])
     ap.add_argument("--params", default="std128_k2")
-    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--engine", default=os.environ.get("HERDSMAN_BENCH_ENGINE",
                                                        "pallas_mega8"))
     ap.add_argument("--iters", type=int, default=4)
