@@ -151,6 +151,47 @@ class HerdClient:
             pass
         return metadata
 
+    def upload_data_frame_seeded(
+        self,
+        session_uuid: str,
+        name: str,
+        schema_type: SchemaType,
+        columns: Sequence[ColumnMeta],
+        seeded_bodies: np.ndarray,       # [rows, bits] uint32 (bodies only)
+        seed: int,
+        partitions: int,
+        chunk_rows: int = 1024,
+    ):
+        """Compressed upload (beyond the reference): ships one u32 per bit
+        plus the mask seed; the coordinator re-derives the masks and stores
+        the standard expanded frame.  ~(n+1)x less upload bandwidth."""
+        bodies = np.ascontiguousarray(np.asarray(seeded_bodies,
+                                                 dtype=np.uint32))
+        payloads = [bodies[r].tobytes() for r in range(bodies.shape[0])]
+
+        def messages():
+            yield pb.DataFrameAddRequest(info=pb.DataFrameInfo(
+                type=int(schema_type), session_uuid=session_uuid, name=name,
+                row_count=len(payloads), partitions=partitions,
+                columns=mappers.columns_to_proto(columns),
+                seeded=True, seeded_seed=seed & ((1 << 64) - 1),
+            ))
+            for off in range(0, len(payloads), chunk_rows):
+                yield pb.DataFrameAddRequest(
+                    data=rowcodec.frame_rows(payloads[off:off + chunk_rows])
+                )
+
+        fn = self._channel.stream_stream(
+            "/herdsman.Storage/add_data_frame",
+            request_serializer=lambda m: m.SerializeToString(),
+            response_deserializer=pb.DataFrameAddResponse.FromString,
+        )
+        responses = fn(messages(), metadata=self._meta())
+        metadata = next(iter(responses)).metadata
+        for _ in responses:  # drain
+            pass
+        return metadata
+
     def list_data_frames(self, session_uuid: str,
                          schema_type: Optional[SchemaType] = None):
         req = pb.DataFrameListRequest(session_uuid=session_uuid)

@@ -37,6 +37,32 @@ def encrypt_rows(
     return ref.encrypt_bool(ck, bits, rng)
 
 
+def encrypt_rows_seeded(
+    ck: ref.ClientKey,
+    columns: Sequence[ColumnMeta],
+    rows: Sequence[Sequence[int]],
+    seed: int,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Seeded table encryption: -> bodies [rows, total_bits] uint32.
+
+    Upload with HerdClient.upload_data_frame_seeded(bodies, seed) — the
+    wire carries one u32 per bit instead of (n+1), ~770x less at n=768;
+    the coordinator expands to the standard layout at ingest."""
+    total_bits = sum(c.dtype.bit_width for c in columns)
+    bits = np.zeros((len(rows), total_bits), dtype=bool)
+    for r, row in enumerate(rows):
+        assert len(row) == len(columns), "row arity mismatch"
+        off = 0
+        for val, col in zip(row, columns):
+            w = col.dtype.bit_width
+            for i in range(w):
+                bits[r, off + i] = (int(val) >> i) & 1
+            off += w
+    bodies = ref.encrypt_bool_seeded(ck, bits.reshape(-1), seed, rng)
+    return bodies.reshape(len(rows), total_bits)
+
+
 def decrypt_rows(
     ck: ref.ClientKey,
     columns: Sequence[ColumnMeta],

@@ -213,6 +213,58 @@ def lwe_encrypt_raw(
     return np.concatenate([a, b[..., None]], axis=-1)
 
 
+def seeded_mask(params: TFHEParams, seed: int, count: int,
+                offset: int = 0) -> np.ndarray:
+    """Deterministic uniform LWE masks [count, n] u32 from a public seed.
+
+    The mask stream is Philox-based (counter-based, version-stable per the
+    NumPy bit-generator compatibility guarantee), so the client publishes
+    (seed, bodies) and any party can re-derive the masks — the standard
+    seeded-LWE compression: a row shrinks from (n+1) u32 to ONE u32
+    (770x at n = 768).  `offset` skips the first `offset` rows of the
+    stream (per-chunk expansion of a streamed upload).
+    """
+    gen = np.random.Generator(np.random.Philox(key=seed & ((1 << 64) - 1)))
+    if offset:
+        # integers() stream consumption has no public advance() mapping, so
+        # skip by drawing (cheap relative to the crypto around it)
+        gen.integers(0, 1 << 32, size=(offset, params.n), dtype=np.uint64)
+    return gen.integers(
+        0, 1 << 32, size=(count, params.n), dtype=np.uint64
+    ).astype(U32)
+
+
+def lwe_encrypt_seeded(
+    ck: ClientKey, mu: np.ndarray, seed: int, rng: np.random.Generator,
+    offset: int = 0,
+) -> np.ndarray:
+    """Seeded encryption: returns ONLY the bodies [count] u32; the masks
+    are re-derivable from (seed, row index) via `seeded_mask`.  The noise
+    still comes from the client's private rng — only the mask is public
+    pseudorandomness (standard seeded-LWE)."""
+    p = ck.params
+    mu = np.asarray(mu, dtype=U32).reshape(-1)
+    a = seeded_mask(p, seed, mu.shape[0], offset)
+    e = _gaussian_u32(rng, p.lwe_std, mu.shape)
+    return (a * ck.lwe_key).sum(axis=-1, dtype=U32) + mu + e
+
+
+def expand_seeded(params: TFHEParams, seed: int, bodies: np.ndarray,
+                  offset: int = 0) -> np.ndarray:
+    """(seed, bodies [count]) -> full LWE ciphertexts [count, n+1] u32."""
+    bodies = np.asarray(bodies, dtype=U32).reshape(-1)
+    a = seeded_mask(params, seed, bodies.shape[0], offset)
+    return np.concatenate([a, bodies[:, None]], axis=-1)
+
+
+def encrypt_bool_seeded(ck: ClientKey, bits: np.ndarray, seed: int,
+                        rng: np.random.Generator,
+                        offset: int = 0) -> np.ndarray:
+    bits = np.asarray(bits).reshape(-1)
+    mu = np.where(bits, BOOL_MU, NEG_BOOL_MU).astype(U32)
+    return lwe_encrypt_seeded(ck, mu, seed, rng, offset)
+
+
 def lwe_phase(key: np.ndarray, ct: np.ndarray) -> np.ndarray:
     """b - <a, s> mod 2^32 for ct [..., dim+1] under binary key [dim]."""
     a = ct[..., :-1]

@@ -220,6 +220,7 @@ def build_server(coord: Coordinator, address: str = "127.0.0.1:0",
                 token, info.session_uuid, info.name, SchemaType(info.type),
                 mappers.columns_to_model(info.columns),
                 info.row_count, info.partitions,
+                seeded_seed=info.seeded_seed if info.seeded else None,
             )
             yield pb.DataFrameAddResponse(metadata=_frame_meta(entry))
             for m in request_iterator:

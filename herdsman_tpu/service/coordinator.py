@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import io
 import logging
+import struct
 from typing import Iterable, Optional, Sequence
 
 import numpy as np
@@ -50,6 +51,13 @@ def deserialize_server_key(data: bytes) -> ServerKey:
     return ServerKey(params, z["bsk"], z["ksk"])
 
 
+def key_params_from_bytes(data: bytes):
+    """Parameter set of a serialized server key WITHOUT loading the
+    multi-MB key arrays (npz members decompress lazily on access)."""
+    z = np.load(io.BytesIO(data), allow_pickle=True)
+    return PARAM_SETS[str(z["params"][0])]
+
+
 class Coordinator:
     def __init__(self, config: Config, engine: Optional[str] = None):
         self.config = config
@@ -70,6 +78,10 @@ class Coordinator:
         )
         self.keys = KeyService(config.server.key_directory)
         self.storage = StorageService(config.server.storage_directory)
+        # in-flight seeded (compressed) uploads: frame_uuid -> expansion
+        # state (seed, params, per-row bit count, mask-stream position,
+        # partial-row buffer)
+        self._seeded_uploads: dict[str, dict] = {}
         self.execution = ExecutionService(
             self.keys, self.storage,
             journal_path=str(
@@ -145,9 +157,16 @@ class Coordinator:
         self, token: str, session_uuid: str, name: str,
         schema_type: SchemaType, columns: Sequence[ColumnMeta],
         row_count: int, partitions: int,
+        seeded_seed: Optional[int] = None,
     ) -> DataFrameEntry:
         """First message of the bidi stream: validates and replies with the
-        new frame's metadata (reference :55-113)."""
+        new frame's metadata (reference :55-113).
+
+        `seeded_seed` enables the compressed upload path (beyond the
+        reference): row payloads carry only the LWE bodies (one u32 per
+        bit) and the coordinator re-derives the masks from the seed at
+        ingest, storing the standard expanded layout — the on-disk format,
+        partition math and job pipeline are untouched."""
         self._check_session(token, session_uuid)
         if not self.keys.key_exists(session_uuid, schema_type):
             raise ObjectNotFoundException(
@@ -157,17 +176,64 @@ class Coordinator:
         frame_uuid = self.storage.create_data_frame(
             session_uuid, name, schema_type, columns, row_count, partitions
         )
+        if seeded_seed is not None:
+            params = key_params_from_bytes(
+                self.keys.read_key(session_uuid, schema_type))
+            self._seeded_uploads[frame_uuid] = {
+                "seed": int(seeded_seed),
+                "params": params,
+                "row_bits": sum(c.dtype.bit_width for c in columns),
+                "cts_done": 0,
+                "buf": b"",
+            }
         return self.storage.get_data_frame(session_uuid, frame_uuid)
+
+    def _expand_seeded_chunk(self, frame_uuid: str, data: bytes) -> bytes:
+        """Expand a chunk of seeded rows ([u32 size][bodies]) into the
+        standard full-ciphertext framing; buffers partial rows across
+        chunk boundaries (clients may split anywhere, reference
+        storage_service.cpp:119-150 semantics)."""
+        from herdsman_tpu.core import reference as ref
+        from herdsman_tpu.utils import rowcodec
+
+        st = self._seeded_uploads[frame_uuid]
+        buf = st["buf"] + data
+        p = st["params"]
+        expanded: list[bytes] = []
+        off = 0
+        row_bytes = st["row_bits"] * 4
+        while off + 4 <= len(buf):
+            (size,) = struct.unpack_from("<I", buf, off)
+            if size != row_bytes:
+                raise ValueError(
+                    f"seeded row payload must be {row_bytes} bytes "
+                    f"(one u32 body per bit), got {size}")
+            if off + 4 + size > len(buf):
+                break
+            bodies = np.frombuffer(buf, dtype=np.uint32,
+                                   count=st["row_bits"], offset=off + 4)
+            cts = ref.expand_seeded(p, st["seed"], bodies,
+                                    offset=st["cts_done"])
+            st["cts_done"] += st["row_bits"]
+            expanded.append(cts.astype(np.uint32).tobytes())
+            off += 4 + size
+        st["buf"] = buf[off:]
+        return rowcodec.frame_rows(expanded)
 
     def append_data_frame(self, token: str, session_uuid: str,
                           frame_uuid: str, data: bytes) -> int:
         self._check_session(token, session_uuid)
         try:
+            if frame_uuid in self._seeded_uploads:
+                data = self._expand_seeded_chunk(frame_uuid, data)
+                if not data:
+                    return 0
             return self.storage.append_to_data_frame(
                 session_uuid, frame_uuid, data
             )
         except ValueError:
             # over/under-run aborts delete the frame (reference :128-150)
+            self._seeded_uploads.pop(frame_uuid, None)
             self.storage.remove_data_frame(session_uuid, frame_uuid)
             raise
 
@@ -175,6 +241,11 @@ class Coordinator:
                                  frame_uuid: str) -> None:
         self._check_session(token, session_uuid)
         try:
+            st = self._seeded_uploads.pop(frame_uuid, None)
+            if st is not None and st["buf"]:
+                raise ValueError(
+                    f"seeded upload ended mid-row ({len(st['buf'])} "
+                    "trailing bytes)")
             self.storage.mark_data_frame_as_uploaded(session_uuid, frame_uuid)
         except ValueError:
             self.storage.remove_data_frame(session_uuid, frame_uuid)

@@ -218,3 +218,75 @@ def test_branching_plan(coordinator, client_session):
             assert dec == [a ^ b for a, b in table]
         else:
             assert dec == [(a + b) % 256 for a, b in table]
+
+
+def test_seeded_upload_e2e(coordinator, client_session):
+    """Seeded (compressed) frame upload — beyond the reference: the wire
+    carries only (seed, one u32 body per bit); the coordinator re-derives
+    the masks at ingest and stores the standard expanded layout, so the
+    whole job pipeline downstream is untouched.  Chunks deliberately split
+    MID-ROW to exercise the partial-row buffering."""
+    token, session, ck, rng = client_session
+    table = [(3, 5), (200, 100), (255, 255), (17, 4), (128, 1), (9, 64)]
+    seed = 0xFEEDBEE5
+    bodies = client_lib.encrypt_rows_seeded(ck, IN_COLS, table, seed, rng)
+    assert bodies.shape == (len(table), 16)
+    # wire bytes vs the expanded upload: ~(n+1)x smaller
+    expanded_bytes = len(table) * 16 * (TOY.n + 1) * 4
+    seeded_bytes = bodies.nbytes
+    assert expanded_bytes / seeded_bytes == TOY.n + 1
+
+    meta = coordinator.begin_data_frame_upload(
+        token, session.uuid, "seeded-in", SchemaType.TFHE_BOOL, IN_COLS,
+        len(table), 2, seeded_seed=seed,
+    )
+    payloads = [bodies[r].tobytes() for r in range(bodies.shape[0])]
+    framed = rowcodec.frame_rows(payloads)
+    # split at awkward offsets (mid-header, mid-row)
+    cuts = [0, 3, 70, 71, 200, len(framed)]
+    for i in range(len(cuts) - 1):
+        coordinator.append_data_frame(token, session.uuid, meta.uuid,
+                                      framed[cuts[i]:cuts[i + 1]])
+    coordinator.finish_data_frame_upload(token, session.uuid, meta.uuid)
+
+    # run a map-only job over the seeded-uploaded frame
+    g = DAG()
+    inp = g.emplace(InputStage(meta.uuid))
+    mp = g.emplace(MapperStage(map_circuit()))
+    out = g.emplace(OutputStage("seeded-result"))
+    g.add_edge(inp, mp)
+    g.add_edge(mp, out)
+    plan = ExecutionPlan(SchemaType.TFHE_BOOL, g)
+    job = coordinator.schedule_job(token, session.uuid, plan.to_json())
+    done = coordinator.wait_for_job(token, session.uuid, job.job_uuid,
+                                    timeout=900)
+    assert done.status == JobStatus.COMPLETED, done.message
+
+    [(_, out_frame)] = done.output_frames.items()
+    payloads = []
+    for chunk in coordinator.download_data_frame(token, session.uuid,
+                                                 out_frame):
+        payloads.extend(rowcodec.parse_rows(chunk))
+    rows = frame_codec.payloads_to_rows(payloads, 9, TOY)
+    dec = client_lib.decrypt_rows(ck, MAP_OUT_COLS, rows)
+    for (a, b), row in zip(table, dec):
+        assert row["x"] == a ^ b
+        assert row["odd"] == bin(a ^ b).count("1") & 1
+
+
+def test_seeded_upload_rejects_trailing_bytes(coordinator, client_session):
+    token, session, ck, rng = client_session
+    bodies = client_lib.encrypt_rows_seeded(ck, IN_COLS, [(1, 2)], 5, rng)
+    meta = coordinator.begin_data_frame_upload(
+        token, session.uuid, "seeded-bad", SchemaType.TFHE_BOOL, IN_COLS,
+        1, 1, seeded_seed=5,
+    )
+    framed = rowcodec.frame_rows([bodies[0].tobytes()])
+    coordinator.append_data_frame(token, session.uuid, meta.uuid,
+                                  framed[:-2])  # withhold the tail
+    with pytest.raises(ValueError):
+        coordinator.finish_data_frame_upload(token, session.uuid, meta.uuid)
+    # abort semantics: the frame is gone (reference :128-150)
+    names = [f.name
+             for f in coordinator.list_data_frames(token, session.uuid)]
+    assert "seeded-bad" not in names

@@ -176,3 +176,36 @@ def test_upload_overrun_aborts(authed):
         list(fn(messages(), metadata=client._meta()))
     # the aborted frame is gone (reference deletes it on over/under-run)
     assert all(f.name != "bad" for f in client.list_data_frames(session.uuid))
+
+
+def test_seeded_upload_over_grpc(authed):
+    """Compressed upload end-to-end over the wire: the stream carries one
+    u32 per bit + a seed; the stored frame decrypts/evaluates identically."""
+    client, session, ck, rng = authed
+    table = [(7,), (200,), (42,)]
+    seed = 0x5EEDED
+    bodies = client_lib.encrypt_rows_seeded(ck, IN_COLS, table, seed, rng)
+    meta = client.upload_data_frame_seeded(
+        session.uuid, "tbl-seeded", SchemaType.TFHE_BOOL, IN_COLS,
+        bodies, seed, partitions=1, chunk_rows=2,
+    )
+    assert meta.rows_count == 3
+
+    cb = CircuitBuilder(IN_COLS)
+    cb.output("r", ~cb.input_column("a"))
+    g = DAG()
+    i_ = g.emplace(InputStage(meta.uuid))
+    m = g.emplace(MapperStage(cb.build()))
+    o = g.emplace(OutputStage("res-seeded"))
+    g.add_edge(i_, m)
+    g.add_edge(m, o)
+    job = client.schedule_job(session.uuid,
+                              ExecutionPlan(SchemaType.TFHE_BOOL, g))
+    st = client.wait_for_job(session.uuid, job.uuid, timeout=120)
+    assert st.status == int(JobStatus.COMPLETED), st.message
+    rows = client.download_data_frame(session.uuid, st.output_frames[0],
+                                      8, TOY)
+    dec = client_lib.decrypt_rows(
+        ck, (ColumnMeta("r", DataType.UINT8),), rows
+    )
+    assert [r["r"] for r in dec] == [(~a) & 0xFF for (a,) in table]
