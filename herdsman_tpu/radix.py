@@ -67,6 +67,20 @@ class RadixContext:
             blocks.append(self.short.encrypt(digit))
         return EncRadix(self, blocks)
 
+    def trivial(self, values, batch: int | None = None) -> "EncRadix":
+        """Trivial (noiseless) encryption of cleartext integers — the
+        tfhe-rs `trivial_encrypt` analog; enables scalar compares/min/max
+        and server-side constants without the client key."""
+        vals = np.atleast_1d(np.asarray(values, dtype=np.uint64))
+        if batch is not None and vals.shape[0] == 1:
+            vals = np.broadcast_to(vals, (batch,))
+        m = self.short.modulus
+        blocks = [
+            self.short.trivial((vals >> (self.short.msg_bits * j)) % m)
+            for j in range(self.n_blocks)
+        ]
+        return EncRadix(self, blocks)
+
     def decrypt(self, x: "EncRadix") -> list[int]:
         x = x.propagate()
         m_bits = self.short.msg_bits
@@ -814,6 +828,36 @@ class EncRadix:
         return self._compare(o, (_GT, _EQ))
 
     # ---- signed (two's complement) views ----
+
+    # ---- scalar comparisons (tfhe-rs scalar_{eq,ne,lt,...} analogs):
+    # the scalar becomes a trivial (noiseless) operand ----
+
+    def _trivial_like(self, k: int) -> "EncRadix":
+        return self.ctx.trivial(k, batch=self.batch)
+
+    def scalar_eq(self, k: int) -> EncShort:
+        return self.eq(self._trivial_like(k))
+
+    def scalar_ne(self, k: int) -> EncShort:
+        return self.ne(self._trivial_like(k))
+
+    def scalar_lt(self, k: int) -> EncShort:
+        return self.lt(self._trivial_like(k))
+
+    def scalar_le(self, k: int) -> EncShort:
+        return self.le(self._trivial_like(k))
+
+    def scalar_gt(self, k: int) -> EncShort:
+        return self.gt(self._trivial_like(k))
+
+    def scalar_ge(self, k: int) -> EncShort:
+        return self.ge(self._trivial_like(k))
+
+    def scalar_min(self, k: int) -> "EncRadix":
+        return self.min(self._trivial_like(k))
+
+    def scalar_max(self, k: int) -> "EncRadix":
+        return self.max(self._trivial_like(k))
 
     def sign_bit(self) -> EncShort:
         """0/1 flag = the two's-complement sign (top bit): one PBS on the

@@ -89,6 +89,20 @@ class ShortContext:
         ct = ref.lwe_encrypt_raw(self.ck, mu, self._rng)
         return EncShort(self, jnp.asarray(ct), max_val=self.modulus - 1)
 
+    def trivial(self, values, batch: int | None = None) -> "EncShort":
+        """Trivial (noiseless, keyless) encryption of cleartext values —
+        the tfhe-rs `trivial_encrypt` analog: mask = 0, body = encode(v).
+        Decryptable by anyone; used for server-side constants and scalar
+        comparisons.  `batch` broadcasts a python int to a batch."""
+        vals = np.atleast_1d(np.asarray(values)) % self.modulus
+        if batch is not None and vals.shape[0] == 1:
+            vals = np.broadcast_to(vals, (batch,))
+        mu = pbs.encode(self.params, vals, self.space_bits)
+        ct = np.zeros((vals.shape[0], self.params.n + 1), dtype=np.uint32)
+        ct[:, -1] = mu
+        return EncShort(self, jnp.asarray(ct), max_val=self.modulus - 1,
+                        noise_level=0)
+
     def decrypt(self, x: "EncShort") -> list[int]:
         x = x.reduce() if x.max_val >= self.modulus else x
         phase = ref.lwe_phase(self.ck.lwe_key, np.asarray(x.data))

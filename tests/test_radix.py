@@ -314,3 +314,21 @@ def test_noise_level_shortint_ops(rctx):
     assert t.scalar_mul(2).noise_level in (1, 2, 4)  # may reduce first
     assert (t * y).noise_level == 1  # PBS output is fresh
     assert list(s.decrypt((t * y).reduce())) == [(4 * 3) % 4, (3 * 1) % 4]
+
+
+def test_trivial_and_scalar_compares(rctx):
+    ctx = rctx
+    vals = [0, 7, 32, 50, 63]
+    x = ctx.encrypt(vals)
+    # trivial encryption round-trips without the client key's rng
+    t = ctx.trivial([5, 6, 7, 8, 9])
+    assert ctx.decrypt(t) == [5, 6, 7, 8, 9]
+    assert ctx.decrypt(x + t) == [(v + w) % MOD
+                                  for v, w in zip(vals, [5, 6, 7, 8, 9])]
+    # scalar comparisons against a broadcast cleartext
+    k = 32
+    assert ctx.decrypt_flag(x.scalar_eq(k)) == [v == k for v in vals]
+    assert ctx.decrypt_flag(x.scalar_lt(k)) == [v < k for v in vals]
+    assert ctx.decrypt_flag(x.scalar_ge(k)) == [v >= k for v in vals]
+    assert ctx.decrypt(x.scalar_min(k)) == [min(v, k) for v in vals]
+    assert ctx.decrypt(x.scalar_max(k)) == [max(v, k) for v in vals]
