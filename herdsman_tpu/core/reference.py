@@ -197,6 +197,97 @@ def keygen(params: TFHEParams, rng: np.random.Generator) -> tuple[ClientKey, Ser
     return ck, ServerKey(p, bsk, ksk)
 
 
+@dataclasses.dataclass
+class CompressedServerKey:
+    """Seeded server key (tfhe-rs CompressedServerKey analog): every GLWE /
+    LWE mask in the BSK and KSK comes from a public Philox stream, so only
+    the BODY polynomials travel — (k+1)x less for the BSK, (n+1)x for the
+    KSK (43 MB -> 9.5 MB at STD128_K2).  `expand_server_key` re-derives the
+    exact ServerKey."""
+    params: TFHEParams
+    seed: int
+    bsk_bodies: np.ndarray   # [n, (k+1)*levels, N] u32
+    ksk_bodies: np.ndarray   # [ks_levels, kN] u32
+
+
+def _key_mask_stream(p: TFHEParams, seed: int):
+    """Deterministic mask draws for a seeded server key.  Draw order is
+    part of the format: all BSK GLWE masks first (i-major, row-minor),
+    then all KSK LWE masks (level-major, kN-minor)."""
+    gen = np.random.Generator(np.random.Philox(key=seed & ((1 << 64) - 1)))
+    R = (p.k + 1) * p.levels
+    bsk_a = gen.integers(0, 1 << 32, size=(p.n, R, p.k, p.N),
+                         dtype=np.uint64).astype(U32)
+    ksk_a = gen.integers(0, 1 << 32, size=(p.ks_levels, p.kN, p.n),
+                         dtype=np.uint64).astype(U32)
+    return bsk_a, ksk_a
+
+
+def _ggsw_row_msg(ck: ClientKey, m: int, j: int, lev: int) -> np.ndarray:
+    """Message polynomial of GGSW row (j, lev) — same as ggsw_encrypt."""
+    p = ck.params
+    scale = I64(1) << I64(32 - p.bg_bits * (lev + 1))
+    factor = (I64(m) * scale) & 0xFFFFFFFF
+    if j < p.k:
+        return ((I64(0) - I64(factor))
+                * ck.glwe_key[j].astype(I64) & 0xFFFFFFFF).astype(U32)
+    msg = np.zeros(p.N, dtype=U32)
+    msg[0] = U32(factor)
+    return msg
+
+
+def keygen_seeded(
+    params: TFHEParams, rng: np.random.Generator, seed: int,
+) -> tuple[ClientKey, CompressedServerKey]:
+    """Like `keygen` but with all evaluation-key masks drawn from the
+    public `seed` stream — the noise (and the secret keys) still come from
+    the private `rng`."""
+    p = params
+    lwe_key = rng.integers(0, 2, size=p.n, dtype=np.uint32)
+    glwe_key = rng.integers(0, 2, size=(p.k, p.N), dtype=np.uint32)
+    ck = ClientKey(p, lwe_key, glwe_key)
+    bsk_a, ksk_a = _key_mask_stream(p, seed)
+
+    R = (p.k + 1) * p.levels
+    bsk_bodies = np.empty((p.n, R, p.N), dtype=U32)
+    for i in range(p.n):
+        for j in range(p.k + 1):
+            for lev in range(p.levels):
+                row = j * p.levels + lev
+                msg = _ggsw_row_msg(ck, int(lwe_key[i]), j, lev)
+                b = msg + _gaussian_u32(rng, p.glwe_std, (p.N,))
+                for jj in range(p.k):
+                    b = b + negacyclic_polymul(bsk_a[i, row, jj],
+                                               glwe_key[jj])
+                bsk_bodies[i, row] = b
+
+    s_ext = ck.extracted_key.astype(I64)
+    ksk_bodies = np.empty((p.ks_levels, p.kN), dtype=U32)
+    for t in range(p.ks_levels):
+        scale = I64(1) << I64(32 - p.ks_base_bits * (t + 1))
+        msgs = ((s_ext * scale) & 0xFFFFFFFF).astype(U32)
+        e = _gaussian_u32(rng, p.lwe_std, (p.kN,))
+        ksk_bodies[t] = (
+            (ksk_a[t].astype(np.uint64) * lwe_key[None, :]).sum(
+                axis=-1).astype(U32) + msgs + e
+        )
+    return ck, CompressedServerKey(p, seed, bsk_bodies, ksk_bodies)
+
+
+def expand_server_key(csk: CompressedServerKey) -> ServerKey:
+    """(seed, bodies) -> the full ServerKey, masks re-derived."""
+    p = csk.params
+    R = (p.k + 1) * p.levels
+    bsk_a, ksk_a = _key_mask_stream(p, csk.seed)
+    bsk = np.concatenate(
+        [bsk_a, csk.bsk_bodies[:, :, None, :]], axis=2
+    )  # [n, R, k+1, N]
+    ksk = np.concatenate(
+        [ksk_a, csk.ksk_bodies[:, :, None]], axis=-1
+    )  # [ks_levels, kN, n+1]
+    return ServerKey(p, bsk, np.swapaxes(ksk, 0, 1).copy())
+
+
 # ---------------------------------------------------------------------------
 # LWE
 # ---------------------------------------------------------------------------

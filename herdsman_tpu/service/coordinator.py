@@ -45,9 +45,25 @@ def serialize_server_key(sk: ServerKey) -> bytes:
     return buf.getvalue()
 
 
+def serialize_server_key_compressed(csk) -> bytes:
+    """Seeded-key wire format (core.reference.CompressedServerKey):
+    ~(k+1)x less BSK + (n+1)x less KSK upload than the full key."""
+    buf = io.BytesIO()
+    np.savez_compressed(
+        buf, seed=np.array([csk.seed], dtype=np.uint64),
+        bsk_bodies=csk.bsk_bodies, ksk_bodies=csk.ksk_bodies,
+        params=np.array([csk.params.name], dtype=object))
+    return buf.getvalue()
+
+
 def deserialize_server_key(data: bytes) -> ServerKey:
     z = np.load(io.BytesIO(data), allow_pickle=True)
     params = PARAM_SETS[str(z["params"][0])]
+    if "seed" in z.files:  # compressed (seeded) key: expand at ingest
+        from herdsman_tpu.core.reference import (CompressedServerKey,
+                                                 expand_server_key)
+        return expand_server_key(CompressedServerKey(
+            params, int(z["seed"][0]), z["bsk_bodies"], z["ksk_bodies"]))
     return ServerKey(params, z["bsk"], z["ksk"])
 
 

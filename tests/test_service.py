@@ -458,3 +458,28 @@ def test_job_journal_survives_restart(tmp_path):
     assert j.output_frames == {2: "out"}
     assert ex2.describe_job("s", job.job_uuid).plan is not None
     ex2.shutdown()
+
+
+def test_compressed_server_key_roundtrip(tmp_path):
+    """Seeded (compressed) server-key upload: the coordinator expands the
+    (seed, bodies) form to the full key transparently — the session's jobs
+    run identically (tfhe-rs CompressedServerKey analog)."""
+    import numpy as np
+
+    from herdsman_tpu.core import TOY
+    from herdsman_tpu.core import reference as ref
+    from herdsman_tpu.service.coordinator import (
+        deserialize_server_key, serialize_server_key,
+        serialize_server_key_compressed)
+
+    rng = np.random.default_rng(31)
+    ck, csk = ref.keygen_seeded(TOY, rng, seed=42)
+    blob_c = serialize_server_key_compressed(csk)
+    blob_f = serialize_server_key(ref.expand_server_key(csk))
+    assert len(blob_c) < len(blob_f) / 2  # wire-size win even at TOY
+    sk = deserialize_server_key(blob_c)
+    bits = np.array([True, False, True])
+    ct = ref.encrypt_bool(ck, bits, rng)
+    for i in range(3):
+        assert ref.lwe_decrypt_bool(ck, ref.bootstrap_bool(sk, ct[i])) \
+            == bits[i]
