@@ -198,6 +198,47 @@ def keygen(params: TFHEParams, rng: np.random.Generator) -> tuple[ClientKey, Ser
 
 
 @dataclasses.dataclass
+class PublicKey:
+    """LWE public encryption key (tfhe-rs CompactPublicKey analog in
+    role): M encryptions of zero under the n-LWE key.  Anyone holding it
+    can encrypt (random binary subset-sum + message + fresh noise) without
+    the secret key — the classic LWE->PKE transform (Regev09).  M = 2(n+1)
+    keeps the leftover-hash-lemma margin at q = 2^32 with binary
+    combination vectors."""
+    params: TFHEParams
+    rows: np.ndarray   # [M, n+1] u32, each an encryption of 0
+
+
+def make_public_key(ck: ClientKey, rng: np.random.Generator,
+                    m_rows: int | None = None) -> PublicKey:
+    p = ck.params
+    M = m_rows if m_rows is not None else 2 * (p.n + 1)
+    zeros = np.zeros(M, dtype=U32)
+    return PublicKey(p, lwe_encrypt_raw(ck, zeros, rng))
+
+
+def lwe_encrypt_pk(pk: PublicKey, mu: np.ndarray,
+                   rng: np.random.Generator) -> np.ndarray:
+    """Public-key encryption of torus values mu [...]: ct [..., n+1]."""
+    p = pk.params
+    mu = np.asarray(mu, dtype=U32)
+    M = pk.rows.shape[0]
+    sel = rng.integers(0, 2, size=mu.shape + (M,), dtype=np.uint32)
+    ct = np.einsum("...m,md->...d", sel.astype(np.uint64),
+                   pk.rows.astype(np.uint64)).astype(U32)
+    ct[..., p.n] = ct[..., p.n] + mu + _gaussian_u32(rng, p.lwe_std,
+                                                     mu.shape)
+    return ct
+
+
+def encrypt_bool_pk(pk: PublicKey, bits: np.ndarray,
+                    rng: np.random.Generator) -> np.ndarray:
+    bits = np.asarray(bits)
+    mu = np.where(bits, BOOL_MU, NEG_BOOL_MU).astype(U32)
+    return lwe_encrypt_pk(pk, mu, rng)
+
+
+@dataclasses.dataclass
 class CompressedServerKey:
     """Seeded server key (tfhe-rs CompressedServerKey analog): every GLWE /
     LWE mask in the BSK and KSK comes from a public Philox stream, so only

@@ -212,3 +212,21 @@ def test_mux_gate(toy_keys):
                 out = ref.gate_mux(sk, cs, ca, cb)
                 expect = bool(a if sel else b)
                 assert ref.lwe_decrypt_bool(ck, out) == expect, (sel, a, b)
+
+
+def test_public_key_encryption(toy_keys):
+    """PK-encrypted bits decrypt correctly AND survive a bootstrap (the
+    subset-sum noise fits the gate budget)."""
+    ck, sk, rng = toy_keys
+    pk = ref.make_public_key(ck, rng)
+    assert pk.rows.shape == (2 * (TOY.n + 1), TOY.n + 1)
+    # every pk row is a valid encryption of zero
+    ph = ref.lwe_phase(ck.lwe_key, pk.rows).astype(np.int64)
+    ph = np.where(ph >= 1 << 31, ph - (1 << 32), ph)
+    assert np.abs(ph).max() < (1 << 8)  # TOY noise is tiny
+    bits = np.array([True, False, True, True, False])
+    ct = ref.encrypt_bool_pk(pk, bits, rng)
+    assert np.array_equal(ref.lwe_decrypt_bool(ck, ct), bits)
+    for i in range(len(bits)):
+        out = ref.bootstrap_bool(sk, ct[i])
+        assert ref.lwe_decrypt_bool(ck, out) == bits[i]
