@@ -364,7 +364,9 @@ def main() -> None:
         bench_noise(args)
         return
     if args.metric in ("shortint", "radix"):
-        if not args.params.startswith("std128_shortint"):
+        # redirect only the bool-oriented DEFAULTS (their 4-bit slot space
+        # does not fit these params); an explicit toy/test choice is kept
+        if args.params in ("std128_k2", "std128_fast", "std128"):
             args.params = "std128_shortint"  # PBS-safe slot margins
             log(f"{args.metric} metric: params -> std128_shortint")
         _fit_engine_to_params(args)

@@ -116,25 +116,11 @@ class HerdClient:
 
     # ---- data frames ----
 
-    def upload_data_frame(
-        self,
-        session_uuid: str,
-        name: str,
-        schema_type: SchemaType,
-        columns: Sequence[ColumnMeta],
-        encrypted_rows: np.ndarray,      # [rows, bits, n+1] uint32
-        partitions: int,
-        chunk_rows: int = 64,
-    ):
-        """Streamed upload (bidi, reference shape); returns frame metadata."""
-        payloads = frame_codec.rows_to_payloads(np.asarray(encrypted_rows))
-
+    def _stream_add_data_frame(self, info, payloads: list, chunk_rows: int):
+        """Shared bidi add_data_frame protocol: info, then framed row
+        chunks; returns the server's frame metadata."""
         def messages():
-            yield pb.DataFrameAddRequest(info=pb.DataFrameInfo(
-                type=int(schema_type), session_uuid=session_uuid, name=name,
-                row_count=len(payloads), partitions=partitions,
-                columns=mappers.columns_to_proto(columns),
-            ))
+            yield pb.DataFrameAddRequest(info=info)
             for off in range(0, len(payloads), chunk_rows):
                 yield pb.DataFrameAddRequest(
                     data=rowcodec.frame_rows(payloads[off:off + chunk_rows])
@@ -150,6 +136,25 @@ class HerdClient:
         for _ in responses:  # drain
             pass
         return metadata
+
+    def upload_data_frame(
+        self,
+        session_uuid: str,
+        name: str,
+        schema_type: SchemaType,
+        columns: Sequence[ColumnMeta],
+        encrypted_rows: np.ndarray,      # [rows, bits, n+1] uint32
+        partitions: int,
+        chunk_rows: int = 64,
+    ):
+        """Streamed upload (bidi, reference shape); returns frame metadata."""
+        payloads = frame_codec.rows_to_payloads(np.asarray(encrypted_rows))
+        info = pb.DataFrameInfo(
+            type=int(schema_type), session_uuid=session_uuid, name=name,
+            row_count=len(payloads), partitions=partitions,
+            columns=mappers.columns_to_proto(columns),
+        )
+        return self._stream_add_data_frame(info, payloads, chunk_rows)
 
     def upload_data_frame_seeded(
         self,
@@ -168,29 +173,13 @@ class HerdClient:
         bodies = np.ascontiguousarray(np.asarray(seeded_bodies,
                                                  dtype=np.uint32))
         payloads = [bodies[r].tobytes() for r in range(bodies.shape[0])]
-
-        def messages():
-            yield pb.DataFrameAddRequest(info=pb.DataFrameInfo(
-                type=int(schema_type), session_uuid=session_uuid, name=name,
-                row_count=len(payloads), partitions=partitions,
-                columns=mappers.columns_to_proto(columns),
-                seeded=True, seeded_seed=seed & ((1 << 64) - 1),
-            ))
-            for off in range(0, len(payloads), chunk_rows):
-                yield pb.DataFrameAddRequest(
-                    data=rowcodec.frame_rows(payloads[off:off + chunk_rows])
-                )
-
-        fn = self._channel.stream_stream(
-            "/herdsman.Storage/add_data_frame",
-            request_serializer=lambda m: m.SerializeToString(),
-            response_deserializer=pb.DataFrameAddResponse.FromString,
+        info = pb.DataFrameInfo(
+            type=int(schema_type), session_uuid=session_uuid, name=name,
+            row_count=len(payloads), partitions=partitions,
+            columns=mappers.columns_to_proto(columns),
+            seeded=True, seeded_seed=seed & ((1 << 64) - 1),
         )
-        responses = fn(messages(), metadata=self._meta())
-        metadata = next(iter(responses)).metadata
-        for _ in responses:  # drain
-            pass
-        return metadata
+        return self._stream_add_data_frame(info, payloads, chunk_rows)
 
     def list_data_frames(self, session_uuid: str,
                          schema_type: Optional[SchemaType] = None):

@@ -199,12 +199,16 @@ def keygen(params: TFHEParams, rng: np.random.Generator) -> tuple[ClientKey, Ser
 
 @dataclasses.dataclass
 class PublicKey:
-    """LWE public encryption key (tfhe-rs CompactPublicKey analog in
-    role): M encryptions of zero under the n-LWE key.  Anyone holding it
-    can encrypt (random binary subset-sum + message + fresh noise) without
-    the secret key — the classic LWE->PKE transform (Regev09).  M = 2(n+1)
-    keeps the leftover-hash-lemma margin at q = 2^32 with binary
-    combination vectors."""
+    """LWE public encryption key: M encryptions of zero under the n-LWE
+    key.  Anyone holding it can encrypt (random binary subset-sum +
+    message + fresh noise) without the secret key — the Regev09 LWE->PKE
+    transform.  NOTE on the parameterization: statistical hiding via the
+    leftover hash lemma would need M >= (n+1)*log2(q) + 2*lambda (~25k
+    rows at n=768, q=2^32); the default M = 2(n+1) instead rests on the
+    COMPUTATIONAL hardness of the resulting knapsack-LWE instance (the
+    common practical choice, cf. tfhe-rs CompactPublicKey which similarly
+    relies on computational assumptions); pass m_rows explicitly for a
+    statistically-hiding key."""
     params: TFHEParams
     rows: np.ndarray   # [M, n+1] u32, each an encryption of 0
 
@@ -252,15 +256,16 @@ class CompressedServerKey:
 
 
 def _key_mask_stream(p: TFHEParams, seed: int):
-    """Deterministic mask draws for a seeded server key.  Draw order is
+    """Deterministic mask draws for a seeded server key, from the raw
+    Philox stream (version-stable — see `_philox_u32`).  Draw order is
     part of the format: all BSK GLWE masks first (i-major, row-minor),
     then all KSK LWE masks (level-major, kN-minor)."""
-    gen = np.random.Generator(np.random.Philox(key=seed & ((1 << 64) - 1)))
     R = (p.k + 1) * p.levels
-    bsk_a = gen.integers(0, 1 << 32, size=(p.n, R, p.k, p.N),
-                         dtype=np.uint64).astype(U32)
-    ksk_a = gen.integers(0, 1 << 32, size=(p.ks_levels, p.kN, p.n),
-                         dtype=np.uint64).astype(U32)
+    n_bsk = p.n * R * p.k * p.N
+    n_ksk = p.ks_levels * p.kN * p.n
+    stream = _philox_u32(seed, n_bsk + n_ksk)
+    bsk_a = stream[:n_bsk].reshape(p.n, R, p.k, p.N)
+    ksk_a = stream[n_bsk:].reshape(p.ks_levels, p.kN, p.n)
     return bsk_a, ksk_a
 
 
@@ -345,25 +350,40 @@ def lwe_encrypt_raw(
     return np.concatenate([a, b[..., None]], axis=-1)
 
 
+def _philox_u32(seed: int, n_u32: int, skip_u32: int = 0) -> np.ndarray:
+    """Deterministic uniform u32 stream from the RAW Philox counter output.
+
+    Format note: Generator.integers() output is NOT covered by NumPy's
+    cross-version stability guarantee — only the bit generator's raw
+    stream is — so anything that becomes a wire/disk format must derive
+    from random_raw.  Each raw u64 word yields two u32 (low half first);
+    Philox.advance(d) skips exactly 4*d words, giving O(1) offsets.
+    """
+    assert n_u32 % 2 == 0 and skip_u32 % 2 == 0, "u32 stream moves in pairs"
+    skip_w, n_w = skip_u32 // 2, n_u32 // 2
+    bg = np.random.Philox(key=seed & ((1 << 64) - 1))
+    bg.advance(skip_w // 4)
+    rem = skip_w % 4
+    raw = bg.random_raw(rem + n_w)[rem:]
+    out = np.empty(2 * n_w, dtype=U32)
+    out[0::2] = (raw & 0xFFFFFFFF).astype(U32)
+    out[1::2] = (raw >> 32).astype(U32)
+    return out
+
+
 def seeded_mask(params: TFHEParams, seed: int, count: int,
                 offset: int = 0) -> np.ndarray:
     """Deterministic uniform LWE masks [count, n] u32 from a public seed.
 
-    The mask stream is Philox-based (counter-based, version-stable per the
-    NumPy bit-generator compatibility guarantee), so the client publishes
-    (seed, bodies) and any party can re-derive the masks — the standard
-    seeded-LWE compression: a row shrinks from (n+1) u32 to ONE u32
-    (770x at n = 768).  `offset` skips the first `offset` rows of the
-    stream (per-chunk expansion of a streamed upload).
+    Derived from the raw Philox counter stream (version-stable; see
+    `_philox_u32`), so the client publishes (seed, bodies) and any party
+    re-derives the masks — the standard seeded-LWE compression: a row
+    shrinks from (n+1) u32 to ONE u32 (770x at n = 768).  `offset` skips
+    the first `offset` rows of the stream in O(1) (per-chunk expansion of
+    a streamed upload).
     """
-    gen = np.random.Generator(np.random.Philox(key=seed & ((1 << 64) - 1)))
-    if offset:
-        # integers() stream consumption has no public advance() mapping, so
-        # skip by drawing (cheap relative to the crypto around it)
-        gen.integers(0, 1 << 32, size=(offset, params.n), dtype=np.uint64)
-    return gen.integers(
-        0, 1 << 32, size=(count, params.n), dtype=np.uint64
-    ).astype(U32)
+    return _philox_u32(seed, count * params.n,
+                       skip_u32=offset * params.n).reshape(count, params.n)
 
 
 def lwe_encrypt_seeded(

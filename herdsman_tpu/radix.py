@@ -71,7 +71,9 @@ class RadixContext:
         """Trivial (noiseless) encryption of cleartext integers — the
         tfhe-rs `trivial_encrypt` analog; enables scalar compares/min/max
         and server-side constants without the client key."""
-        vals = np.atleast_1d(np.asarray(values, dtype=np.uint64))
+        vals = np.atleast_1d(np.asarray(values, dtype=np.int64)) \
+            % self.modulus  # accept negatives, like encrypt()
+        vals = vals.astype(np.uint64)
         if batch is not None and vals.shape[0] == 1:
             vals = np.broadcast_to(vals, (batch,))
         m = self.short.modulus

@@ -215,7 +215,7 @@ class Coordinator:
         st = self._seeded_uploads[frame_uuid]
         buf = st["buf"] + data
         p = st["params"]
-        expanded: list[bytes] = []
+        row_bodies: list[np.ndarray] = []
         off = 0
         row_bytes = st["row_bits"] * 4
         while off + 4 <= len(buf):
@@ -226,15 +226,21 @@ class Coordinator:
                     f"(one u32 body per bit), got {size}")
             if off + 4 + size > len(buf):
                 break
-            bodies = np.frombuffer(buf, dtype=np.uint32,
-                                   count=st["row_bits"], offset=off + 4)
-            cts = ref.expand_seeded(p, st["seed"], bodies,
-                                    offset=st["cts_done"])
-            st["cts_done"] += st["row_bits"]
-            expanded.append(cts.astype(np.uint32).tobytes())
+            row_bodies.append(np.frombuffer(
+                buf, dtype=np.uint32, count=st["row_bits"], offset=off + 4))
             off += 4 + size
         st["buf"] = buf[off:]
-        return rowcodec.frame_rows(expanded)
+        if not row_bodies:
+            return b""
+        # one mask-stream expansion for ALL complete rows of the chunk
+        # (seeded_mask offsets are O(1) via Philox counter advance)
+        cts = ref.expand_seeded(p, st["seed"], np.concatenate(row_bodies),
+                                offset=st["cts_done"])
+        st["cts_done"] += cts.shape[0]
+        rb = st["row_bits"]
+        cts = cts.reshape(len(row_bodies), rb * (p.n + 1))
+        return rowcodec.frame_rows(
+            [cts[r].tobytes() for r in range(cts.shape[0])])
 
     def append_data_frame(self, token: str, session_uuid: str,
                           frame_uuid: str, data: bytes) -> int:
@@ -277,6 +283,7 @@ class Coordinator:
     def remove_data_frame(self, token: str, session_uuid: str,
                           frame_uuid: str) -> None:
         self._check_session(token, session_uuid)
+        self._seeded_uploads.pop(frame_uuid, None)  # drop in-flight state
         self.storage.remove_data_frame(session_uuid, frame_uuid)
 
     def download_data_frame(self, token: str, session_uuid: str,

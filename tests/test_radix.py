@@ -332,3 +332,6 @@ def test_trivial_and_scalar_compares(rctx):
     assert ctx.decrypt_flag(x.scalar_ge(k)) == [v >= k for v in vals]
     assert ctx.decrypt(x.scalar_min(k)) == [min(v, k) for v in vals]
     assert ctx.decrypt(x.scalar_max(k)) == [max(v, k) for v in vals]
+    # negatives normalize mod 2^width, same as encrypt()
+    assert ctx.decrypt(ctx.trivial([-1, -2, -MOD, 1, 2])) \
+        == [MOD - 1, MOD - 2, 0, 1, 2]
