@@ -9,6 +9,15 @@ the accumulator. The accumulator NEVER leaves VMEM during the whole
 rotation — HBM traffic is exactly: the bootstrapping key streamed once per
 batch-chunk, plus one read of acc0 and one write of the result. There are
 no per-step kernel launches, no scan glue, no intermediate arrays.
+
+On the mega5..mega9 near-duplication: each variant's kernel body IS the
+experiment — the textual op order, digit pack order, scratch topology and
+dot shape are exactly what the within-session A/Bs measure (BENCH_LOG
+sessions 4-6), so the rotate/decompose blocks are deliberately NOT
+factored into a shared helper whose refactors would silently perturb every
+measured engine at once. Bit-exactness of every variant against
+core.reference is enforced per-engine in tests/test_ops_bitexact.py;
+superseded variants are kept as measured-negative records.
 """
 
 from __future__ import annotations
