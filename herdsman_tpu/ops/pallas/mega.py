@@ -1190,13 +1190,17 @@ def _mega8_kernel(a_ref, acc0_ref, btj2_ref, out_ref, acc_sc, *,
 def mega8_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
                        bsk_btj2: jax.Array) -> jax.Array:
     """Same contract as mega5/6/7 but consuming the windowed ``bsk_btj2``
-    key layout [n, 2*HALF, R, P, C4P]."""
+    key layout [n, 2*HALF, R, P, C4P].  HERDSMAN_MEGA_BT sets the chunk
+    rows (default 128): bigger chunks halve the VPU op COUNT of the
+    rotate/decompose stream at constant element volume — the residual
+    non-MXU cost is spread over many small ops (BENCH_LOG session 6)."""
     import os
     p = params
     P, HALF = bt_tile(p)
     R = (p.k + 1) * p.levels
     B = acc0.shape[0]
-    Bt = B if B <= 128 else 128
+    bt_env = int(os.environ.get("HERDSMAN_MEGA_BT", "128"))
+    Bt = B if B <= bt_env else (bt_env if B % bt_env == 0 else 128)
     assert B % Bt == 0, "pad batch to a multiple of 128 first"
     BC = B // Bt
     C4P = (p.k + 1) * 4 * P
