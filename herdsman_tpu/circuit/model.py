@@ -33,6 +33,7 @@ class SchemaType(enum.IntEnum):
     src/service/key_service.cpp:28-31)."""
 
     TFHE_BOOL = 0
+    TFHE_PACKING = 1   # LWE->GLWE packing keyswitch key (packed downloads)
 
 
 class DataType(enum.IntEnum):

@@ -214,6 +214,21 @@ class HerdClient:
             payloads.extend(rowcodec.parse_rows(chunk.data))
         return frame_codec.payloads_to_rows(payloads, total_bits, params)
 
+    def download_data_frame_packed(self, session_uuid: str,
+                                   frame_uuid: str) -> list[bytes]:
+        """Compressed download: GLWE-packed partitions (decrypt with
+        core.client.decrypt_rows_packed; needs the GLWE secret key)."""
+        fn = self._channel.unary_stream(
+            "/herdsman.Storage/download_data_frame_packed",
+            request_serializer=lambda m: m.SerializeToString(),
+            response_deserializer=pb.DataFrameChunk.FromString,
+        )
+        return [chunk.data for chunk in fn(
+            pb.DataFrameDownloadRequest(session_uuid=session_uuid,
+                                        uuid=frame_uuid),
+            metadata=self._meta(),
+        )]
+
     # ---- execution ----
 
     def schedule_job(self, session_uuid: str, plan: ExecutionPlan,

@@ -63,6 +63,51 @@ def encrypt_rows_seeded(
     return bodies.reshape(len(rows), total_bits)
 
 
+def decrypt_rows_packed(
+    ck: ref.ClientKey,
+    columns: Sequence[ColumnMeta],
+    partitions: Sequence[bytes],
+) -> list[dict[str, int]]:
+    """Decrypt packed-GLWE download partitions (the coordinator's
+    download_data_frame_packed stream: [u32 n_cts][u32 n_groups] then
+    n_groups GLWEs of (k+1)*N u32 each)."""
+    import struct
+
+    p = ck.params
+    total_bits = sum(c.dtype.bit_width for c in columns)
+    bits_flat: list[np.ndarray] = []
+    for blob in partitions:
+        n_cts, n_groups = struct.unpack_from("<II", blob, 0)
+        off = 8
+        glwe_bytes = (p.k + 1) * p.N * 4
+        got = 0
+        for _ in range(n_groups):
+            g = np.frombuffer(blob, dtype=np.uint32, count=(p.k + 1) * p.N,
+                              offset=off).reshape(p.k + 1, p.N)
+            take = min(p.N, n_cts - got)
+            bits_flat.append(ref.unpack_bools(ck, g, take))
+            got += take
+            off += glwe_bytes
+        assert got == n_cts, "packed stream truncated"
+    bits = (np.concatenate(bits_flat) if bits_flat
+            else np.zeros(0, dtype=bool)).reshape(-1, total_bits)
+    out = []
+    for r in range(bits.shape[0]):
+        row = {}
+        off = 0
+        for col in columns:
+            w = col.dtype.bit_width
+            val = 0
+            for i in range(w):
+                val |= int(bits[r, off + i]) << i
+            if col.dtype.signed and bits[r, off + w - 1]:
+                val -= 1 << w
+            row[col.name] = val
+            off += w
+        out.append(row)
+    return out
+
+
 def decrypt_rows(
     ck: ref.ClientKey,
     columns: Sequence[ColumnMeta],

@@ -334,6 +334,63 @@ def expand_server_key(csk: CompressedServerKey) -> ServerKey:
     return ServerKey(p, bsk, np.swapaxes(ksk, 0, 1).copy())
 
 
+@dataclasses.dataclass
+class PackingKey:
+    """LWE -> GLWE packing keyswitch key: for every n-LWE key bit s_j,
+    GLWE encryptions of the constant polynomial s_j * q/base^(t+1).  Packs
+    up to N LWE ciphertexts into ONE GLWE ciphertext — the download-side
+    compression dual of the seeded upload ((n+1)*N u32 -> (k+1)*N u32,
+    ~192x at STD128_K2).  Reuses the (ks_base_bits, ks_levels) gadget."""
+    params: TFHEParams
+    pksk: np.ndarray   # [n, ks_levels, k+1, N] u32
+
+
+def make_packing_key(ck: ClientKey,
+                     rng: np.random.Generator) -> PackingKey:
+    p = ck.params
+    pksk = np.empty((p.n, p.ks_levels, p.k + 1, p.N), dtype=U32)
+    for j in range(p.n):
+        for t in range(p.ks_levels):
+            scale = I64(1) << I64(32 - p.ks_base_bits * (t + 1))
+            msg = np.zeros(p.N, dtype=U32)
+            msg[0] = U32((I64(ck.lwe_key[j]) * scale) & 0xFFFFFFFF)
+            pksk[j, t] = glwe_encrypt(ck, msg, rng)
+    return PackingKey(p, pksk)
+
+
+def pack_lwes(pk: PackingKey, cts: np.ndarray) -> np.ndarray:
+    """Pack M <= N LWE cts [M, n+1] into one GLWE [k+1, N] whose message
+    polynomial holds m_i at coefficient i (functional keyswitch):
+
+        out = (0, sum_i b_i X^i) - sum_{j,t} D_{j,t}(X) (*) PKSK[j,t]
+
+    with D_{j,t} the t-th unsigned gadget digit of the mask polynomial
+    A_j(X) = sum_i a_i[j] X^i, taken coefficient-wise.  phase(out) =
+    sum_i (m_i + e_i) X^i + keyswitch noise."""
+    p = pk.params
+    cts = np.asarray(cts, dtype=U32)
+    M = cts.shape[0]
+    assert M <= p.N, "at most N ciphertexts per packed GLWE"
+    a = np.zeros((p.n, p.N), dtype=U32)   # A_j coefficients
+    a[:, :M] = cts[:, : p.n].T
+    out = np.zeros((p.k + 1, p.N), dtype=U32)
+    out[p.k, :M] = cts[:, p.n]
+    digits = unsigned_decompose(a, p.ks_base_bits, p.ks_levels)  # [n, N, t]
+    for j in range(p.n):
+        for t in range(p.ks_levels):
+            d = digits[j, :, t].astype(U32)
+            if not d.any():
+                continue
+            out = out - negacyclic_polymul(d[None, :], pk.pksk[j, t])
+    return out
+
+
+def unpack_bools(ck: ClientKey, glwe: np.ndarray, count: int) -> np.ndarray:
+    """Decrypt a packed GLWE of boolean +-q/8 messages -> [count] bool."""
+    ph = glwe_phase(ck, np.asarray(glwe, dtype=U32))[:count]
+    return ph.astype(np.int32) > 0
+
+
 # ---------------------------------------------------------------------------
 # LWE
 # ---------------------------------------------------------------------------

@@ -258,6 +258,17 @@ def build_server(coord: Coordinator, address: str = "127.0.0.1:0",
         except Exception as e:  # noqa: BLE001
             _abort(context, e)
 
+    def download_data_frame_packed(request, context):
+        try:
+            token = _token(context)
+            for part, chunk in enumerate(
+                coord.download_data_frame_packed(
+                    token, request.session_uuid, request.uuid)
+            ):
+                yield pb.DataFrameChunk(data=chunk, partition=part)
+        except Exception as e:  # noqa: BLE001
+            _abort(context, e)
+
     storage_handlers = {
         "add_data_frame": grpc.stream_stream_rpc_method_handler(
             add_data_frame,
@@ -276,6 +287,11 @@ def build_server(coord: Coordinator, address: str = "127.0.0.1:0",
         ),
         "download_data_frame": grpc.unary_stream_rpc_method_handler(
             download_data_frame,
+            request_deserializer=pb.DataFrameDownloadRequest.FromString,
+            response_serializer=pb.DataFrameChunk.SerializeToString,
+        ),
+        "download_data_frame_packed": grpc.unary_stream_rpc_method_handler(
+            download_data_frame_packed,
             request_deserializer=pb.DataFrameDownloadRequest.FromString,
             response_serializer=pb.DataFrameChunk.SerializeToString,
         ),

@@ -67,6 +67,22 @@ def deserialize_server_key(data: bytes) -> ServerKey:
     return ServerKey(params, z["bsk"], z["ksk"])
 
 
+def serialize_packing_key(pk) -> bytes:
+    """Wire/disk form of the LWE->GLWE packing keyswitch key (uploaded
+    under SchemaType.TFHE_PACKING)."""
+    buf = io.BytesIO()
+    np.savez_compressed(buf, pksk=pk.pksk,
+                        params=np.array([pk.params.name], dtype=object))
+    return buf.getvalue()
+
+
+def deserialize_packing_key(data: bytes):
+    from herdsman_tpu.core.reference import PackingKey
+
+    z = np.load(io.BytesIO(data), allow_pickle=True)
+    return PackingKey(PARAM_SETS[str(z["params"][0])], z["pksk"])
+
+
 def key_params_from_bytes(data: bytes):
     """Parameter set of a serialized server key WITHOUT loading the
     multi-MB key arrays (npz members decompress lazily on access)."""
@@ -295,6 +311,40 @@ class Coordinator:
         for part in range(entry.partitions):
             path = self.storage.partition_path(session_uuid, frame_uuid, part)
             yield path.read_bytes() if path.exists() else b""
+
+    def download_data_frame_packed(self, token: str, session_uuid: str,
+                                   frame_uuid: str) -> Iterable[bytes]:
+        """Compressed download (beyond the reference): the frame's LWE
+        rows are packed into GLWE ciphertexts with the session's
+        TFHE_PACKING key (up to N per GLWE — (n+1)*N -> (k+1)*N u32,
+        ~192x at STD128_K2).  Each partition streams as
+        [u32 n_cts][u32 n_groups] then n_groups * (k+1)*N u32 GLWEs;
+        clients holding the GLWE secret key decrypt directly
+        (core.client.decrypt_rows_packed)."""
+        from herdsman_tpu.core import reference as ref
+        from herdsman_tpu.utils import rowcodec
+
+        self._check_session(token, session_uuid)
+        pk = deserialize_packing_key(
+            self.keys.read_key(session_uuid, SchemaType.TFHE_PACKING))
+        p = pk.params
+        entry = self.storage.get_data_frame(session_uuid, frame_uuid)
+        for part in range(entry.partitions):
+            path = self.storage.partition_path(session_uuid, frame_uuid,
+                                               part)
+            data = path.read_bytes() if path.exists() else b""
+            cts = [
+                np.frombuffer(pl, dtype=np.uint32).reshape(-1, p.n + 1)
+                for pl in rowcodec.parse_rows(data)
+            ]
+            flat = (np.concatenate(cts, axis=0) if cts
+                    else np.zeros((0, p.n + 1), dtype=np.uint32))
+            groups = [
+                ref.pack_lwes(pk, flat[o:o + p.N])
+                for o in range(0, flat.shape[0], p.N)
+            ]
+            head = struct.pack("<II", flat.shape[0], len(groups))
+            yield head + b"".join(g.tobytes() for g in groups)
 
     # ---- execution (reference src/controller/execution_controller.cpp) ----
 

@@ -290,3 +290,47 @@ def test_seeded_upload_rejects_trailing_bytes(coordinator, client_session):
     names = [f.name
              for f in coordinator.list_data_frames(token, session.uuid)]
     assert "seeded-bad" not in names
+
+
+def test_packed_download_e2e(coordinator, client_session):
+    """Compressed (GLWE-packed) result download — the dual of the seeded
+    upload: up to N output LWEs pack into ONE GLWE via the session's
+    TFHE_PACKING key; the client decrypts with the GLWE secret key."""
+    token, session, ck, rng = client_session
+    from herdsman_tpu.service.coordinator import serialize_packing_key
+
+    pk = ref.make_packing_key(ck, rng)
+    blob = serialize_packing_key(pk)
+    coordinator.add_key(token, session.uuid, SchemaType.TFHE_PACKING,
+                        len(blob), [blob])
+
+    table = [(3, 5), (200, 100), (17, 4)]
+    rows_ct = client_lib.encrypt_rows(ck, IN_COLS, table, rng)
+    frame_uuid = upload_rows(coordinator, token, session.uuid, "packed-in",
+                             IN_COLS, rows_ct, partitions=2)
+    g = DAG()
+    inp = g.emplace(InputStage(frame_uuid))
+    mp = g.emplace(MapperStage(map_circuit()))
+    out = g.emplace(OutputStage("packed-out"))
+    g.add_edge(inp, mp)
+    g.add_edge(mp, out)
+    job = coordinator.schedule_job(
+        token, session.uuid,
+        ExecutionPlan(SchemaType.TFHE_BOOL, g).to_json())
+    done = coordinator.wait_for_job(token, session.uuid, job.job_uuid,
+                                    timeout=900)
+    assert done.status == JobStatus.COMPLETED, done.message
+    [(_, out_frame)] = done.output_frames.items()
+
+    blobs = list(coordinator.download_data_frame_packed(
+        token, session.uuid, out_frame))
+    dec = client_lib.decrypt_rows_packed(ck, MAP_OUT_COLS, blobs)
+    for (a, b), row in zip(table, dec):
+        assert row["x"] == a ^ b
+        assert row["odd"] == bin(a ^ b).count("1") & 1
+    # the packed stream is smaller than the expanded one
+    expanded = sum(
+        len(c) for c in coordinator.download_data_frame(
+            token, session.uuid, out_frame))
+    packed = sum(len(b) for b in blobs)
+    assert packed < expanded

@@ -209,3 +209,22 @@ def test_seeded_upload_over_grpc(authed):
         ck, (ColumnMeta("r", DataType.UINT8),), rows
     )
     assert [r["r"] for r in dec] == [(~a) & 0xFF for (a,) in table]
+
+
+def test_packed_download_over_grpc(authed):
+    client, session, ck, rng = authed
+    from herdsman_tpu.core import reference as ref_mod
+    from herdsman_tpu.service.coordinator import serialize_packing_key
+
+    pk = ref_mod.make_packing_key(ck, rng)
+    client.add_key(session.uuid, SchemaType.TFHE_PACKING,
+                   serialize_packing_key(pk))
+    table = [(9,), (250,)]
+    cts = client_lib.encrypt_rows(ck, IN_COLS, table, rng)
+    meta = client.upload_data_frame(
+        session.uuid, "tbl-packed", SchemaType.TFHE_BOOL, IN_COLS, cts,
+        partitions=1,
+    )
+    blobs = client.download_data_frame_packed(session.uuid, meta.uuid)
+    dec = client_lib.decrypt_rows_packed(ck, IN_COLS, blobs)
+    assert [r["a"] for r in dec] == [9, 250]
