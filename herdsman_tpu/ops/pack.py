@@ -1,0 +1,76 @@
+"""Device LWE -> GLWE packing keyswitch (`core.reference.pack_lwes` on the
+MXU): the (j, t)-summed negacyclic products are one int8-limb correlation —
+the same formulation as the bootstrap's `_ep_conv_i8` engine with R = n*t
+rows — so bulk packed downloads run at device rate instead of numpy loops.
+
+Bit-exact with the reference (tests/test_ops_bitexact.py); digits are the
+UNSIGNED ks gadget (values < 2^ks_base_bits), which must fit int8 — all
+shipped parameter sets use ks_base_bits <= 3.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from herdsman_tpu.core.params import TFHEParams
+from herdsman_tpu.core.reference import PackingKey
+from herdsman_tpu.ops import poly
+from herdsman_tpu.ops.decomp import unsigned_decompose
+
+U32 = jnp.uint32
+I32 = jnp.int32
+I8 = jnp.int8
+
+
+def packing_key_conv(pk: PackingKey) -> jax.Array:
+    """Re-layout the PKSK for the conv engine: [n*t, (k+1)*4, 2N-1] i8
+    (same construction as server_key's ``bsk_conv``)."""
+    p = pk.params
+    assert p.ks_base_bits <= 7, "unsigned ks digits must fit int8"
+    rows = pk.pksk.reshape(p.n * p.ks_levels, p.k + 1, p.N)
+    ext = np.concatenate([rows, (np.uint32(0) - rows)], axis=-1)
+    dx = np.arange(2 * p.N - 1)
+    w_idx = (p.N - 1 - dx) % (2 * p.N)
+    src = ext[..., w_idx]  # [n*t, k+1, 2N-1] u32
+    u = src.astype(np.uint32) + np.uint32(0x80808080)
+    shifts = np.array([0, 8, 16, 24], dtype=np.uint32)
+    limbs = ((u[..., None] >> shifts) & np.uint32(0xFF)).astype(
+        np.int32) - 128
+    return jnp.asarray(
+        np.moveaxis(limbs.astype(np.int8), -1, 2)
+        .reshape(p.n * p.ks_levels, (p.k + 1) * 4, 2 * p.N - 1)
+    )
+
+
+def pack_lwes_batch(params: TFHEParams, pkc: jax.Array,
+                    cts: jax.Array) -> jax.Array:
+    """Pack groups of LWE cts: [Gr, M <= N, n+1] u32 -> [Gr, k+1, N] u32.
+
+    out_g = (0, sum_i b_i X^i) - sum_{j,t} D_{j,t}(X) (*) PKSK[j,t]
+    (reference `pack_lwes`); the double sum is ONE grouped int8
+    correlation feeding the MXU.
+    """
+    p = params
+    cts = jnp.asarray(cts, dtype=U32)
+    Gr, M = cts.shape[0], cts.shape[1]
+    assert M <= p.N
+    a = jnp.zeros((Gr, p.n, p.N), dtype=U32)
+    a = a.at[:, :, :M].set(jnp.swapaxes(cts[:, :, : p.n], 1, 2))
+    digits = unsigned_decompose(a, p.ks_base_bits, p.ks_levels)
+    # [Gr, n, N, t] -> rows ordered (j, t) to match pkc
+    d8 = jnp.moveaxis(digits, -1, 2).reshape(
+        Gr, p.n * p.ks_levels, p.N).astype(I8)
+    contrib = jax.lax.conv_general_dilated(
+        d8, pkc,
+        window_strides=(1,),
+        padding=[(p.N - 1, p.N - 1)],
+        dimension_numbers=("NCH", "IOH", "NCH"),
+        preferred_element_type=I32,
+    )  # [Gr, (k+1)*4, N] i32
+    contrib = contrib.reshape(Gr, p.k + 1, 4, p.N)
+    contrib = poly.from_i32_limb_partials(jnp.moveaxis(contrib, 2, -1))
+    base = jnp.zeros((Gr, p.k + 1, p.N), dtype=U32)
+    base = base.at[:, p.k, :M].set(cts[:, :, p.n])
+    return base - contrib

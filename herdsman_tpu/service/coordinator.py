@@ -321,13 +321,14 @@ class Coordinator:
         [u32 n_cts][u32 n_groups] then n_groups * (k+1)*N u32 GLWEs;
         clients holding the GLWE secret key decrypt directly
         (core.client.decrypt_rows_packed)."""
-        from herdsman_tpu.core import reference as ref
+        from herdsman_tpu.ops import pack as pack_mod
         from herdsman_tpu.utils import rowcodec
 
         self._check_session(token, session_uuid)
         pk = deserialize_packing_key(
             self.keys.read_key(session_uuid, SchemaType.TFHE_PACKING))
         p = pk.params
+        pkc = pack_mod.packing_key_conv(pk)  # device conv layout
         entry = self.storage.get_data_frame(session_uuid, frame_uuid)
         for part in range(entry.partitions):
             path = self.storage.partition_path(session_uuid, frame_uuid,
@@ -339,12 +340,18 @@ class Coordinator:
             ]
             flat = (np.concatenate(cts, axis=0) if cts
                     else np.zeros((0, p.n + 1), dtype=np.uint32))
-            groups = [
-                ref.pack_lwes(pk, flat[o:o + p.N])
-                for o in range(0, flat.shape[0], p.N)
-            ]
+            groups = []
+            full = flat.shape[0] // p.N * p.N
+            if full:  # full groups in one batched device call
+                g = np.asarray(pack_mod.pack_lwes_batch(
+                    p, pkc, flat[:full].reshape(-1, p.N, p.n + 1)))
+                groups.extend(g)
+            if full < flat.shape[0]:  # the partial tail group
+                g = np.asarray(pack_mod.pack_lwes_batch(
+                    p, pkc, flat[None, full:]))
+                groups.append(g[0])
             head = struct.pack("<II", flat.shape[0], len(groups))
-            yield head + b"".join(g.tobytes() for g in groups)
+            yield head + b"".join(np.asarray(g).tobytes() for g in groups)
 
     # ---- execution (reference src/controller/execution_controller.cpp) ----
 

@@ -412,3 +412,21 @@ def test_k2_full_bootstrap_decrypts():
         expect = ref.bootstrap_bool(sk, ct[i])
         np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
         assert ref.lwe_decrypt_bool(ck, got[i]) == bits[i]
+
+
+def test_pack_lwes_device_bitexact(toy_keys):
+    """Device LWE->GLWE packing (ops/pack.py conv formulation) equals the
+    reference `pack_lwes` with array equality, incl. partial groups."""
+    from herdsman_tpu.ops import pack as pack_mod
+
+    ck, sk, rng = toy_keys
+    pk = ref.make_packing_key(ck, rng)
+    pkc = pack_mod.packing_key_conv(pk)
+    for M in (1, 7, TOY.N):
+        cts = ref.encrypt_bool(
+            ck, rng.integers(0, 2, (2, M)).astype(bool).reshape(2 * M), rng
+        ).reshape(2, M, TOY.n + 1)
+        got = np.asarray(pack_mod.pack_lwes_batch(TOY, pkc, jnp.asarray(cts)))
+        for g in range(2):
+            expect = ref.pack_lwes(pk, cts[g])
+            np.testing.assert_array_equal(got[g], expect, err_msg=f"M={M}")
