@@ -326,22 +326,16 @@ def bench_scaling(args) -> None:
 
 
 def _fit_engine_to_params(args) -> None:
-    """mega8/9's windowed bsk_btj2 layout doubles the key (all 2*HALF
-    diagonal groups); at N = 2048 shortint params that is ~19 GiB — over
-    v5e HBM.  Fall back to mega7 (single-width bsk_btj) when it won't fit."""
-    if args.engine not in ("pallas_mega8", "pallas_mega9"):
-        return
+    """Delegates to ops.server_key.fit_engine (single source of truth for
+    the bsk_btj2 HBM-fit fallback) so bench matches the coordinator/API."""
     from herdsman_tpu.core import PARAM_SETS
+    from herdsman_tpu.ops.server_key import fit_engine
 
-    p = PARAM_SETS[args.params]
-    P = min(128, p.N)
-    btj2_bytes = p.n * 2 * (p.N // P) * (p.k + 1) * p.levels * P \
-        * (p.k + 1) * 4 * P
-    if btj2_bytes > 12 * (1 << 30):
-        log(f"{args.engine}: bsk_btj2 would be "
-            f"{btj2_bytes / (1 << 30):.1f} GiB at {args.params}; "
-            "falling back to pallas_mega7")
-        args.engine = "pallas_mega7"
+    fitted = fit_engine(args.engine, PARAM_SETS[args.params])
+    if fitted != args.engine:
+        log(f"{args.engine}: bsk_btj2 won't fit HBM at {args.params}; "
+            f"falling back to {fitted}")
+        args.engine = fitted
 
 
 def main() -> None:

@@ -62,8 +62,7 @@ def main() -> None:
     # --- seeded frame upload: one u32 body per encrypted bit ---
     cols = (ColumnMeta("a", DataType.UINT8), ColumnMeta("b", DataType.UINT8))
     table = [(3, 5), (200, 100), (255, 255), (17, 4)]
-    seed = 0xF00D
-    bodies = client_lib.encrypt_rows_seeded(ck, cols, table, seed, rng)
+    bodies, seed = client_lib.encrypt_rows_seeded(ck, cols, table, rng)
     expanded_bytes = len(table) * 16 * (TOY.n + 1) * 4
     print(f"frame upload: {expanded_bytes:,} B expanded -> "
           f"{bodies.nbytes:,} B seeded ({TOY.n + 1}x)")

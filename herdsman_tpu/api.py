@@ -43,7 +43,9 @@ class HerdContext:
             self.ck, self.sk = ref.keygen(params, self._rng)
         else:
             self.ck, self.sk = keys
-        from herdsman_tpu.ops.server_key import layouts_for_engine
+        from herdsman_tpu.ops.server_key import (fit_engine,
+                                                 layouts_for_engine)
+        self.engine = engine = fit_engine(engine, params)
         self.dsk = device_server_key(self.sk,
                                      layouts=layouts_for_engine(engine))
 

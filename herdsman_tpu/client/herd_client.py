@@ -169,7 +169,11 @@ class HerdClient:
     ):
         """Compressed upload (beyond the reference): ships one u32 per bit
         plus the mask seed; the coordinator re-derives the masks and stores
-        the standard expanded frame.  ~(n+1)x less upload bandwidth."""
+        the standard expanded frame.  ~(n+1)x less upload bandwidth.
+
+        ``seed`` must be the one returned by core.client.encrypt_rows_seeded
+        (freshly drawn per call) — never reuse a seed across uploads under
+        the same key (mask reuse leaks plaintext relations)."""
         bodies = np.ascontiguousarray(np.asarray(seeded_bodies,
                                                  dtype=np.uint32))
         payloads = [bodies[r].tobytes() for r in range(bodies.shape[0])]

@@ -41,14 +41,24 @@ def encrypt_rows_seeded(
     ck: ref.ClientKey,
     columns: Sequence[ColumnMeta],
     rows: Sequence[Sequence[int]],
-    seed: int,
     rng: np.random.Generator,
-) -> np.ndarray:
-    """Seeded table encryption: -> bodies [rows, total_bits] uint32.
+    seed: int | None = None,
+) -> tuple[np.ndarray, int]:
+    """Seeded table encryption: -> (bodies [rows, total_bits] uint32, seed).
 
     Upload with HerdClient.upload_data_frame_seeded(bodies, seed) — the
     wire carries one u32 per bit instead of (n+1), ~770x less at n=768;
-    the coordinator expands to the standard layout at ingest."""
+    the coordinator expands to the standard layout at ingest.
+
+    SECURITY: the seed determines the Philox-derived LWE masks. Reusing a
+    seed under the same client key reuses masks, so ct1 - ct2 leaks
+    plaintext relations directly. Leave ``seed=None`` (the default) to
+    draw a fresh CSPRNG seed per call; if you pass one explicitly it MUST
+    be unique per (key, upload stream)."""
+    if seed is None:
+        import secrets
+
+        seed = secrets.randbits(64)
     total_bits = sum(c.dtype.bit_width for c in columns)
     bits = np.zeros((len(rows), total_bits), dtype=bool)
     for r, row in enumerate(rows):
@@ -60,7 +70,7 @@ def encrypt_rows_seeded(
                 bits[r, off + i] = (int(val) >> i) & 1
             off += w
     bodies = ref.encrypt_bool_seeded(ck, bits.reshape(-1), seed, rng)
-    return bodies.reshape(len(rows), total_bits)
+    return bodies.reshape(len(rows), total_bits), seed
 
 
 def decrypt_rows_packed(

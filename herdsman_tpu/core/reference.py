@@ -450,7 +450,13 @@ def lwe_encrypt_seeded(
     """Seeded encryption: returns ONLY the bodies [count] u32; the masks
     are re-derivable from (seed, row index) via `seeded_mask`.  The noise
     still comes from the client's private rng — only the mask is public
-    pseudorandomness (standard seeded-LWE)."""
+    pseudorandomness (standard seeded-LWE).
+
+    SECURITY: a (key, seed) pair must be used for at most ONE mask stream.
+    Reusing a seed reuses the masks, and ct1 - ct2 = (mu1 - mu2) + (e1 - e2)
+    leaks plaintext relations outright.  Callers that don't manage seeds
+    themselves should use core.client.encrypt_rows_seeded, which draws a
+    fresh CSPRNG seed per call."""
     p = ck.params
     mu = np.asarray(mu, dtype=U32).reshape(-1)
     a = seeded_mask(p, seed, mu.shape[0], offset)

@@ -151,6 +151,27 @@ def layouts_for_engine(engine: str) -> tuple[str, ...]:
     return ("bsk_ext",)
 
 
+def fit_engine(engine: str, params: TFHEParams,
+               hbm_budget_bytes: int = 12 * (1 << 30)) -> str:
+    """Engine the key material actually fits on-device for ``params``.
+
+    mega8/9's windowed ``bsk_btj2`` layout stores all 2*HALF diagonal
+    groups — double the single-width key; at N = 2048 shortint params that
+    is ~19 GiB, over v5e HBM.  Falls back to pallas_mega7 (single-width
+    ``bsk_btj``) when the doubled layout would not fit.  Every entry point
+    that builds a DeviceServerKey from an engine name (eager API, shortint,
+    coordinator, bench) must route through this so none of them can OOM the
+    device at key ingest."""
+    if engine not in ("pallas_mega8", "pallas_mega9"):
+        return engine
+    P, HALF = bt_tile(params)
+    btj2_bytes = (params.n * 2 * HALF * (params.k + 1) * params.levels
+                  * P * (params.k + 1) * 4 * P)
+    if btj2_bytes > hbm_budget_bytes:
+        return "pallas_mega7"
+    return engine
+
+
 def bt_tile(params: TFHEParams) -> tuple[int, int]:
     """(P, HALF) for the block-Toeplitz layout: P = min(128, N), HALF = N/P."""
     P = min(128, params.N)

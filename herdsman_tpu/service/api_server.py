@@ -210,6 +210,8 @@ def build_server(coord: Coordinator, address: str = "127.0.0.1:0",
     def add_data_frame(request_iterator, context):
         """Bidi stream, reference shape (storage_controller.cpp:55-166):
         first message info, server replies metadata, then data chunks."""
+        entry = None
+        finished = False
         try:
             token = _token(context)
             first = next(request_iterator)
@@ -230,8 +232,19 @@ def build_server(coord: Coordinator, address: str = "127.0.0.1:0",
                                         m.data)
             coord.finish_data_frame_upload(token, info.session_uuid,
                                            entry.uuid)
+            finished = True
         except Exception as e:  # noqa: BLE001
             _abort(context, e)
+        finally:
+            # terminated stream (disconnect/abort/error): drop in-flight
+            # seeded state + the unfinished frame (reference deletes frames
+            # on aborted streams, storage_controller.cpp:128-150)
+            if entry is not None and not finished:
+                try:
+                    coord.abandon_data_frame_upload(
+                        token, info.session_uuid, entry.uuid)
+                except Exception:  # noqa: BLE001 — best-effort cleanup
+                    pass
 
     def remove_data_frame(token, request, context):
         coord.remove_data_frame(token, request.session_uuid, request.uuid)

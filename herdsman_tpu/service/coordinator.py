@@ -289,6 +289,21 @@ class Coordinator:
             self.storage.remove_data_frame(session_uuid, frame_uuid)
             raise
 
+    def abandon_data_frame_upload(self, token: str, session_uuid: str,
+                                  frame_uuid: str) -> None:
+        """Clean up an upload whose stream terminated without finishing
+        (client disconnect / abort): drop any in-flight seeded-expansion
+        state and delete the never-finalized frame — the reference deletes
+        frames on aborted streams too (storage_controller.cpp:128-150)."""
+        self._check_session(token, session_uuid)
+        self._seeded_uploads.pop(frame_uuid, None)
+        try:
+            entry = self.storage.get_data_frame(session_uuid, frame_uuid)
+        except ObjectNotFoundException:
+            return
+        if not entry.uploaded:
+            self.storage.remove_data_frame(session_uuid, frame_uuid)
+
     def list_data_frames(
         self, token: str, session_uuid: str,
         schema_type: Optional[SchemaType] = None,
@@ -328,8 +343,16 @@ class Coordinator:
         pk = deserialize_packing_key(
             self.keys.read_key(session_uuid, SchemaType.TFHE_PACKING))
         p = pk.params
-        pkc = pack_mod.packing_key_conv(pk)  # device conv layout
         entry = self.storage.get_data_frame(session_uuid, frame_uuid)
+        frame_params = key_params_from_bytes(
+            self.keys.read_key(session_uuid, entry.schema_type))
+        if frame_params.name != p.name:
+            raise MappingError(
+                f"packing key params ({p.name}) do not match the frame's "
+                f"{entry.schema_type.name} key params ({frame_params.name}); "
+                "re-upload a TFHE_PACKING key generated for the same "
+                "parameter set")
+        pkc = pack_mod.packing_key_conv(pk)  # device conv layout
         for part in range(entry.partitions):
             path = self.storage.partition_path(session_uuid, frame_uuid,
                                                part)
@@ -357,14 +380,19 @@ class Coordinator:
 
     def _device_key(self, session_uuid: str):
         if session_uuid not in self._session_dsk:
-            from herdsman_tpu.ops.server_key import device_server_key
+            from herdsman_tpu.ops.server_key import (device_server_key,
+                                                     fit_engine,
+                                                     layouts_for_engine)
 
             data = self.keys.read_key(session_uuid, SchemaType.TFHE_BOOL)
             sk = deserialize_server_key(data)
-            from herdsman_tpu.ops.server_key import layouts_for_engine
-
+            engine = fit_engine(self._engine, sk.params)
+            if engine != self._engine:
+                log.warning("engine %s key layout won't fit HBM at %s; "
+                            "using %s", self._engine, sk.params.name, engine)
+                self._engine = engine
             self._session_dsk[session_uuid] = device_server_key(
-                sk, layouts=layouts_for_engine(self._engine)
+                sk, layouts=layouts_for_engine(engine)
             )
         return self._session_dsk[session_uuid]
 

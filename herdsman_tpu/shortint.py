@@ -71,7 +71,9 @@ class ShortContext:
         if dsk is not None:
             self.dsk: DeviceServerKey = dsk
         else:
-            from herdsman_tpu.ops.server_key import layouts_for_engine
+            from herdsman_tpu.ops.server_key import (fit_engine,
+                                                     layouts_for_engine)
+            self.engine = engine = fit_engine(engine, params)
             self.dsk = device_server_key(self.sk,
                                          layouts=layouts_for_engine(engine))
 

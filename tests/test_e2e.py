@@ -228,8 +228,7 @@ def test_seeded_upload_e2e(coordinator, client_session):
     MID-ROW to exercise the partial-row buffering."""
     token, session, ck, rng = client_session
     table = [(3, 5), (200, 100), (255, 255), (17, 4), (128, 1), (9, 64)]
-    seed = 0xFEEDBEE5
-    bodies = client_lib.encrypt_rows_seeded(ck, IN_COLS, table, seed, rng)
+    bodies, seed = client_lib.encrypt_rows_seeded(ck, IN_COLS, table, rng)
     assert bodies.shape == (len(table), 16)
     # wire bytes vs the expanded upload: ~(n+1)x smaller
     expanded_bytes = len(table) * 16 * (TOY.n + 1) * 4
@@ -276,7 +275,8 @@ def test_seeded_upload_e2e(coordinator, client_session):
 
 def test_seeded_upload_rejects_trailing_bytes(coordinator, client_session):
     token, session, ck, rng = client_session
-    bodies = client_lib.encrypt_rows_seeded(ck, IN_COLS, [(1, 2)], 5, rng)
+    bodies, _ = client_lib.encrypt_rows_seeded(ck, IN_COLS, [(1, 2)], rng,
+                                             seed=5)
     meta = coordinator.begin_data_frame_upload(
         token, session.uuid, "seeded-bad", SchemaType.TFHE_BOOL, IN_COLS,
         1, 1, seeded_seed=5,
@@ -334,3 +334,38 @@ def test_packed_download_e2e(coordinator, client_session):
             token, session.uuid, out_frame))
     packed = sum(len(b) for b in blobs)
     assert packed < expanded
+
+
+def test_abandoned_upload_cleanup(coordinator, client_session):
+    """A stream that dies mid-upload leaves no frame and no in-flight
+    seeded-expansion state (ADVICE r1: _seeded_uploads leak)."""
+    token, session, ck, rng = client_session
+    bodies, seed = client_lib.encrypt_rows_seeded(ck, IN_COLS, [(1, 2)], rng)
+    meta = coordinator.begin_data_frame_upload(
+        token, session.uuid, "seeded-abandoned", SchemaType.TFHE_BOOL,
+        IN_COLS, 1, 1, seeded_seed=seed,
+    )
+    assert meta.uuid in coordinator._seeded_uploads
+    # client disconnects without finishing -> server-side cleanup hook
+    coordinator.abandon_data_frame_upload(token, session.uuid, meta.uuid)
+    assert meta.uuid not in coordinator._seeded_uploads
+    names = [f.name
+             for f in coordinator.list_data_frames(token, session.uuid)]
+    assert "seeded-abandoned" not in names
+    # idempotent on a frame that no longer exists
+    coordinator.abandon_data_frame_upload(token, session.uuid, meta.uuid)
+
+
+def test_fit_engine_hbm_guard():
+    """fit_engine falls back to mega7 whenever the doubled bsk_btj2 layout
+    exceeds the HBM budget (ADVICE r1: guard lived only in bench.py)."""
+    from herdsman_tpu.core import PARAM_SETS
+    from herdsman_tpu.ops.server_key import fit_engine
+
+    shortint = PARAM_SETS["std128_shortint"]  # N=2048: btj2 ~19 GiB
+    assert fit_engine("pallas_mega8", shortint) == "pallas_mega7"
+    assert fit_engine("pallas_mega9", shortint) == "pallas_mega7"
+    k2 = PARAM_SETS["std128_k2"]  # flagship: fits
+    assert fit_engine("pallas_mega8", k2) == "pallas_mega8"
+    # non-windowed engines pass through untouched
+    assert fit_engine("conv_i8", shortint) == "conv_i8"

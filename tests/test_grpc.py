@@ -183,8 +183,7 @@ def test_seeded_upload_over_grpc(authed):
     u32 per bit + a seed; the stored frame decrypts/evaluates identically."""
     client, session, ck, rng = authed
     table = [(7,), (200,), (42,)]
-    seed = 0x5EEDED
-    bodies = client_lib.encrypt_rows_seeded(ck, IN_COLS, table, seed, rng)
+    bodies, seed = client_lib.encrypt_rows_seeded(ck, IN_COLS, table, rng)
     meta = client.upload_data_frame_seeded(
         session.uuid, "tbl-seeded", SchemaType.TFHE_BOOL, IN_COLS,
         bodies, seed, partitions=1, chunk_rows=2,

@@ -354,7 +354,8 @@ MULTITILE = _dc.replace(TOY, name="toy_multitile", n=8, N=256)
 
 
 @pytest.mark.parametrize("engine", ["pallas_mega5", "pallas_mega6",
-                                    "pallas_mega7", "pallas_mega8"])
+                                    "pallas_mega7", "pallas_mega8",
+                                    "pallas_mega9"])
 def test_mega_multitile_bitexact(engine):
     rng = np.random.default_rng(11)
     ck, sk = ref.keygen(MULTITILE, rng)
