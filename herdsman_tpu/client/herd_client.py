@@ -27,14 +27,32 @@ DEFAULT_CHUNK = 1 << 20
 
 
 class HerdClient:
-    def __init__(self, address: str):
-        self._channel = grpc.insecure_channel(
-            address,
-            options=[
-                ("grpc.max_send_message_length", MAX_MESSAGE_BYTES),
-                ("grpc.max_receive_message_length", MAX_MESSAGE_BYTES),
-            ],
-        )
+    def __init__(self, address: str, root_certificates: bytes | None = None,
+                 private_key: bytes | None = None,
+                 certificate_chain: bytes | None = None,
+                 ssl_target_name_override: str | None = None):
+        """``root_certificates`` switches the channel to TLS (the
+        reference server's SslServerCredentials path, src/main.cpp:39-57);
+        ``private_key``/``certificate_chain`` add mutual TLS when the
+        server requires client auth.  ``ssl_target_name_override`` lets
+        tests dial 127.0.0.1 with a cert issued to another hostname."""
+        options = [
+            ("grpc.max_send_message_length", MAX_MESSAGE_BYTES),
+            ("grpc.max_receive_message_length", MAX_MESSAGE_BYTES),
+        ]
+        if root_certificates is not None:
+            if ssl_target_name_override:
+                options.append(("grpc.ssl_target_name_override",
+                                ssl_target_name_override))
+            creds = grpc.ssl_channel_credentials(
+                root_certificates=root_certificates,
+                private_key=private_key,
+                certificate_chain=certificate_chain,
+            )
+            self._channel = grpc.secure_channel(address, creds,
+                                                options=options)
+        else:
+            self._channel = grpc.insecure_channel(address, options=options)
         self._token: Optional[str] = None
 
     def close(self) -> None:

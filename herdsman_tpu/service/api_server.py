@@ -62,15 +62,45 @@ def _token(context) -> str:
 
 
 class _Guard:
-    """Wraps handlers: extract token, translate exceptions to status codes."""
+    """Wraps handlers: extract + validate token, pin the connection's
+    identity, translate exceptions to status codes."""
 
     def __init__(self, coord: Coordinator):
         self.coord = coord
+        # Per-connection identity pinning (reference
+        # token_auth_metadata_processor.cpp:65-74: once a connection has
+        # authenticated as a user, a token for a DIFFERENT user on the
+        # same connection is rejected).  Keyed by context.peer() — unique
+        # per live TCP connection; bounded LRU since gRPC Python exposes
+        # no connection-close hook.
+        from collections import OrderedDict
+        import threading
+
+        self._pins: "OrderedDict[str, int]" = OrderedDict()
+        self._pin_lock = threading.Lock()
+        self._max_pins = 4096
+
+    def token(self, context) -> str:
+        """Bearer extraction + validation + connection pinning; raises
+        InvalidTokenException (-> UNAUTHENTICATED) on any failure."""
+        raw = _token(context)
+        user = self.coord.auth.validate_token(raw)
+        peer = context.peer()
+        with self._pin_lock:
+            pinned = self._pins.get(peer)
+            if pinned is None:
+                if len(self._pins) >= self._max_pins:
+                    self._pins.popitem(last=False)
+                self._pins[peer] = user.user_id
+            elif pinned != user.user_id:
+                raise InvalidTokenException(
+                    "connection already authenticated as a different user")
+        return raw
 
     def unary(self, fn):
         def handler(request, context):
             try:
-                return fn(_token(context), request, context)
+                return fn(self.token(context), request, context)
             except Exception as e:  # noqa: BLE001 — rpc boundary
                 _abort(context, e)
         return handler
@@ -148,7 +178,7 @@ def build_server(coord: Coordinator, address: str = "127.0.0.1:0",
 
     def add_key(request_iterator, context):
         try:
-            token = _token(context)
+            token = guard.token(context)
             first = next(request_iterator)
             if first.WhichOneof("part") != "options":
                 raise MappingError("first add_key message must be options")
@@ -213,7 +243,7 @@ def build_server(coord: Coordinator, address: str = "127.0.0.1:0",
         entry = None
         finished = False
         try:
-            token = _token(context)
+            token = guard.token(context)
             first = next(request_iterator)
             if first.WhichOneof("part") != "info":
                 raise MappingError("first message must be info")
@@ -262,7 +292,7 @@ def build_server(coord: Coordinator, address: str = "127.0.0.1:0",
 
     def download_data_frame(request, context):
         try:
-            token = _token(context)
+            token = guard.token(context)
             for part, chunk in enumerate(
                 coord.download_data_frame(token, request.session_uuid,
                                           request.uuid)
@@ -273,7 +303,7 @@ def build_server(coord: Coordinator, address: str = "127.0.0.1:0",
 
     def download_data_frame_packed(request, context):
         try:
-            token = _token(context)
+            token = guard.token(context)
             for part, chunk in enumerate(
                 coord.download_data_frame_packed(
                     token, request.session_uuid, request.uuid)
