@@ -95,24 +95,34 @@ class PlanCompiler:
         self.mesh = mesh  # shard plan rows over the mesh's batch axis
         # id(circuit) -> (jitted fn, circuit actually compiled)
         self._circuit_cache: dict[int, tuple[Callable, Circuit]] = {}
+        import threading
+
+        self._cache_lock = threading.Lock()  # branch threads share the cache
 
     def _compiled(self, circuit: Circuit) -> tuple[Callable, Circuit]:
         key = id(circuit)
-        if key not in self._circuit_cache:
-            lowered = optimize_circuit(circuit) if self.optimize else circuit
-            self._circuit_cache[key] = (
-                compile_circuit(lowered, self.dsk, engine=self.engine,
-                                mesh=self.mesh),
-                lowered,
-            )
-        return self._circuit_cache[key]
+        with self._cache_lock:
+            if key not in self._circuit_cache:
+                lowered = (optimize_circuit(circuit) if self.optimize
+                           else circuit)
+                self._circuit_cache[key] = (
+                    compile_circuit(lowered, self.dsk, engine=self.engine,
+                                    mesh=self.mesh),
+                    lowered,
+                )
+            return self._circuit_cache[key]
 
     # ---- stage executors ----
 
     def run_mapper(self, stage: MapperStage, parent: FrameData) -> StageResult:
         _check_circuit_inputs(stage.circuit, parent.columns)
         fn, lowered = self._compiled(stage.circuit)
-        out = np.asarray(fn(jnp.asarray(parent.data)))
+        # keep the result on-device: jax dispatch is async, so independent
+        # DAG branches overlap instead of serializing on a host round-trip
+        # (the reference runs ready stages concurrently,
+        # execution_service.cpp:312-362); the sync point moves to the
+        # storage boundary (runner._store_frame)
+        out = fn(jnp.asarray(parent.data))
         cost = circuit_cost(lowered)  # bootstraps actually executed
         frame = FrameData(stage.circuit.output, out, parent.partitions)
         return StageResult(
@@ -127,16 +137,16 @@ class PlanCompiler:
         cost = circuit_cost(lowered)  # bootstraps actually executed
         n_combines = 0
 
-        def combine(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        def combine(a, b):
             """Apply the binary combiner circuit to row batches [B, bits, n+1]."""
             nonlocal n_combines
             n_combines += a.shape[0]
             stacked = jnp.concatenate(
                 [jnp.asarray(a), jnp.asarray(b)], axis=1
             )
-            return np.asarray(fn(stacked))
+            return fn(stacked)  # stays on-device; dispatch is async
 
-        def fold_rows(rows: np.ndarray) -> np.ndarray:
+        def fold_rows(rows):
             """Left-fold a [R, bits, n+1] group to one row, pairwise-batched:
             each pass halves the count by combining adjacent pairs (the tree
             shape within a task is an implementation detail of the worker in
@@ -145,7 +155,8 @@ class PlanCompiler:
                 m = rows.shape[0] // 2
                 combined = combine(rows[0:2 * m:2], rows[1:2 * m:2])
                 rows = (
-                    np.concatenate([combined, rows[2 * m:]], axis=0)
+                    jnp.concatenate([combined, jnp.asarray(rows[2 * m:])],
+                                    axis=0)
                     if rows.shape[0] % 2
                     else combined
                 )
@@ -154,9 +165,9 @@ class PlanCompiler:
         sizes = partition_sizes(parent.row_count, parent.partitions)
         tree = build_reduce_tree(sizes, stage.policy, stage.per_node_count)
 
-        data = np.asarray(parent.data)
+        data = jnp.asarray(parent.data)
         offsets = np.cumsum([0] + sizes)
-        node_rows: dict[int, np.ndarray] = {}
+        node_rows: dict[int, jnp.ndarray] = {}
         # input-layer nodes carry their partition's rows
         for node in tree.tree:
             v = node.value
@@ -171,7 +182,7 @@ class PlanCompiler:
         while ready:
             nid = ready.pop(0)
             parents = tree.tree[nid].parents()
-            gathered = np.concatenate(
+            gathered = jnp.concatenate(
                 [node_rows[p.node_id()] for p in parents], axis=0
             )
             node_rows[nid] = fold_rows(gathered)
@@ -189,17 +200,39 @@ class PlanCompiler:
 
     # ---- plan executor ----
 
+    def _run_stage(self, st, nid: int,
+                   produced: dict[int, FrameData], parents) -> StageResult:
+        if isinstance(st, MapperStage):
+            return self.run_mapper(st, produced[parents[0].node_id()])
+        if isinstance(st, ReduceStage):
+            return self.run_reduce(st, produced[parents[0].node_id()])
+        raise MappingError(f"unexpected stage {type(st).__name__}")
+
     def execute(
         self,
         plan: ExecutionPlan,
         frames: dict[str, FrameData],
+        max_parallel: int = 1,
     ) -> PlanExecution:
+        """Dependency-ordered plan execution.
+
+        ``max_parallel`` > 1 runs independent ready stages concurrently
+        (bounded thread pool) — the reference's concurrent-stage semantics
+        (ready stages of a job progress in parallel,
+        execution_service.cpp:312-362) with the per-job concurrency_limit
+        cap (:138-165).  Stage outputs stay on-device either way, so even
+        at max_parallel=1 XLA can overlap dispatched programs."""
         plan.validate()
         g: DAG = plan.execution_graph
         produced: dict[int, FrameData] = {}
         outputs: dict[int, FrameData] = {}
         total_tasks = 0
         total_bootstraps = 0
+
+        # resolve inputs/outputs eagerly; compute stages go to the pool
+        deps: dict[int, int] = {}          # nid -> unfinished compute parents
+        children: dict[int, list] = {}
+        compute_nodes = {}
         for node in g.topological_order():
             st = node.value
             nid = node.node_id()
@@ -209,17 +242,63 @@ class PlanCompiler:
                         f"unknown data frame {st.data_frame_uuid}"
                     )
                 produced[nid] = frames[st.data_frame_uuid]
-            elif isinstance(st, MapperStage):
-                res = self.run_mapper(st, produced[node.parents()[0].node_id()])
-                produced[nid] = res.frame
-                total_tasks += res.tasks
-                total_bootstraps += res.bootstraps
-            elif isinstance(st, ReduceStage):
-                res = self.run_reduce(st, produced[node.parents()[0].node_id()])
-                produced[nid] = res.frame
-                total_tasks += res.tasks
-                total_bootstraps += res.bootstraps
-            elif isinstance(st, OutputStage):
+            elif isinstance(st, (MapperStage, ReduceStage)):
+                compute_nodes[nid] = node
+                deps[nid] = sum(
+                    1 for p in node.parents() if p.node_id() in compute_nodes
+                )
+                for p in node.parents():
+                    children.setdefault(p.node_id(), []).append(node)
+
+        if max_parallel <= 1 or len(compute_nodes) <= 1:
+            for node in g.topological_order():
+                st = node.value
+                nid = node.node_id()
+                if isinstance(st, (MapperStage, ReduceStage)):
+                    res = self._run_stage(st, nid, produced, node.parents())
+                    produced[nid] = res.frame
+                    total_tasks += res.tasks
+                    total_bootstraps += res.bootstraps
+                elif isinstance(st, OutputStage):
+                    outputs[nid] = produced[node.parents()[0].node_id()]
+                    produced[nid] = outputs[nid]
+            return PlanExecution(outputs, produced, total_tasks,
+                                 total_bootstraps)
+
+        # concurrent path: dependency-count release, bounded pool
+        import threading
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor
+        from concurrent.futures import wait as fwait
+
+        lock = threading.Lock()
+        ready = [nid for nid, d in deps.items() if d == 0]
+        with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+            futures = {}
+            while ready or futures:
+                while ready:
+                    nid = ready.pop()
+                    node = compute_nodes[nid]
+                    futures[pool.submit(
+                        self._run_stage, node.value, nid, produced,
+                        node.parents())] = nid
+                finished, _ = fwait(futures, return_when=FIRST_COMPLETED)
+                for fut in finished:
+                    nid = futures.pop(fut)
+                    res = fut.result()  # re-raises stage failures
+                    with lock:
+                        produced[nid] = res.frame
+                        total_tasks += res.tasks
+                        total_bootstraps += res.bootstraps
+                        for child in children.get(nid, []):
+                            cid = child.node_id()
+                            if cid in deps:
+                                deps[cid] -= 1
+                                if deps[cid] == 0:
+                                    ready.append(cid)
+
+        for node in g.topological_order():
+            if isinstance(node.value, OutputStage):
+                nid = node.node_id()
                 outputs[nid] = produced[node.parents()[0].node_id()]
                 produced[nid] = outputs[nid]
         return PlanExecution(outputs, produced, total_tasks, total_bootstraps)

@@ -78,6 +78,8 @@ class MeshWorkersConfig:
     engine: str = "pallas_bt"
     max_batch: int = 512
     param_set: str = "std128"
+    concurrent_jobs: int = 1              # executor slots (the reference's
+    # concurrent_workers() = fleet size, executor.cpp:96-113)
 
 
 @dataclasses.dataclass
@@ -155,6 +157,7 @@ def load_config(path: str) -> Config:
         engine=os.environ.get("HERDSMAN_ENGINE", mesh.get("engine", "pallas_bt")),
         max_batch=int(mesh.get("max_batch", 512)),
         param_set=str(mesh.get("param_set", "std128")),
+        concurrent_jobs=int(mesh.get("concurrent_jobs", 1)),
     )
     if cfg.grpc_workers and cfg.lambda_workers:
         raise ConfigError("workers.grpc and workers.lambda are exclusive")

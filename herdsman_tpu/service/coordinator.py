@@ -120,6 +120,10 @@ class Coordinator:
                 __import__("pathlib").Path(config.server.storage_directory)
                 / "jobs.jsonl"
             ),
+            concurrent_workers=(
+                config.mesh_workers.concurrent_jobs
+                if config.mesh_workers else 1
+            ),
         )
         self._engine = engine or (
             config.mesh_workers.engine if config.mesh_workers else "conv_i8"

@@ -6,14 +6,19 @@ src/service/execution_service.cpp, src/execution/executor/executor.cpp):
 - schedule_job: validate plan, analyze + lock resources (keys, frames),
   build a job descriptor, FIFO-enqueue, wake the executor thread
   (reference :29-62);
-- a dedicated executor thread drains the queue (the reference's jthread
-  event loop, executor.cpp:46-80). Where the reference decomposes stages
-  into per-partition tasks dispatched over gRPC workers, here a job is
-  executed as XLA dataflow (compiler.stages.PlanCompiler) — the per-stage
-  "task" counts are still recorded for API parity;
-- per-job retry on failure up to RETRY_LIMIT = 3
-  (reference include/execution/executor/executor.hpp:17 applies it
-  per-task; dataflow execution retries the whole job);
+- executor threads drain the queue (the reference's jthread event loop,
+  executor.cpp:46-80; `concurrent_workers` threads = the greedy
+  slot-filling up to concurrent_workers() of executor.cpp:96-113, so
+  queued jobs overlap when the herd has capacity). Where the reference
+  decomposes stages into per-partition tasks dispatched over gRPC
+  workers, here a job is executed as XLA dataflow
+  (compiler.stages.PlanCompiler) — the per-stage "task" counts are still
+  recorded for API parity;
+- retry classification matches executor.cpp:136-178: transient failures
+  (the TIME_OUT class) retry up to RETRY_LIMIT = 3
+  (include/execution/executor/executor.hpp:17); deterministic validation
+  errors (the ERROR class — MappingError, missing objects) fail the job
+  immediately without burning retries;
 - job states WAITING_FOR_EXECUTION / PENDING / COMPLETED / FAILED
   (herd_common JobStatus, usage reference :41,235,360,370);
 - on terminal states, locked resources are RELEASED — fixing the
@@ -43,6 +48,12 @@ from herdsman_tpu.service.storage import StorageService
 log = logging.getLogger("herdsman.execution")
 
 RETRY_LIMIT = 3  # reference include/execution/executor/executor.hpp:17
+
+# The reference fails a job immediately on worker ERROR and retries only
+# TIME_OUT (executor.cpp:136-178).  The analog here: deterministic
+# validation/semantic errors are terminal; anything else is presumed
+# transient and retried.
+TERMINAL_ERRORS = (MappingError, ObjectNotFoundException)
 
 
 class JobStatus(enum.IntEnum):
@@ -87,6 +98,7 @@ class ExecutionService:
         storage_service: StorageService,
         runner: Optional[JobRunner] = None,
         journal_path: Optional[str] = None,
+        concurrent_workers: int = 1,
     ):
         self._keys = key_service
         self._storage = storage_service
@@ -96,10 +108,13 @@ class ExecutionService:
         self._queue: "queue.Queue[Optional[JobDescriptor]]" = queue.Queue()
         self._journal = journal_path
         self._load_journal()
-        self._thread = threading.Thread(
-            target=self._executor_loop, name="herdsman-executor", daemon=True
-        )
-        self._thread.start()
+        self._threads = [
+            threading.Thread(target=self._executor_loop,
+                             name=f"herdsman-executor-{i}", daemon=True)
+            for i in range(max(1, int(concurrent_workers)))
+        ]
+        for t in self._threads:
+            t.start()
 
     # ---- durability (the reference loses all job state on restart,
     #      SURVEY.md §5 checkpoint/resume) ----
@@ -295,12 +310,15 @@ class ExecutionService:
             except Exception as e:  # noqa: BLE001 — job isolation boundary
                 with self._lock:
                     job.retries += 1
-                    if job.retries < RETRY_LIMIT:
+                    terminal = isinstance(e, TERMINAL_ERRORS)
+                    if not terminal and job.retries < RETRY_LIMIT:
                         job.status = JobStatus.WAITING_FOR_EXECUTION
                         log.warning("job %s failed (%s); retry %d/%d",
                                     job.job_uuid, e, job.retries, RETRY_LIMIT)
                         self._queue.put(job)
                     else:
+                        # terminal = the reference's ERROR class (fail now,
+                        # executor.cpp:168-178); otherwise retries exhausted
                         job.status = JobStatus.FAILED
                         job.message = str(e)
                         self._release_resources(job)
@@ -308,5 +326,7 @@ class ExecutionService:
                         log.error("job %s FAILED: %s", job.job_uuid, e)
 
     def shutdown(self) -> None:
-        self._queue.put(None)
-        self._thread.join(timeout=5)
+        for _ in self._threads:
+            self._queue.put(None)
+        for t in self._threads:
+            t.join(timeout=5)

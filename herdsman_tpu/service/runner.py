@@ -81,7 +81,11 @@ class StorageJobRunner:
                 fu = node.value.data_frame_uuid
                 input_frames[fu] = self._load_frame(session, fu)
 
-        result = self._compiler.execute(plan, input_frames)
+        # per-job concurrency_limit caps in-flight stages (the reference
+        # caps a job's in-flight tasks, execution_service.cpp:138-165)
+        result = self._compiler.execute(
+            plan, input_frames,
+            max_parallel=max(1, job.concurrency_limit))
 
         outputs: dict[int, str] = {}
         for node in plan.execution_graph:

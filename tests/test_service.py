@@ -483,3 +483,99 @@ def test_compressed_server_key_roundtrip(tmp_path):
     for i in range(3):
         assert ref.lwe_decrypt_bool(ck, ref.bootstrap_bool(sk, ct[i])) \
             == bits[i]
+
+
+def test_terminal_error_fails_fast(tmp_path):
+    """Deterministic validation errors (the reference's ERROR class,
+    executor.cpp:168-178) fail the job on the FIRST attempt — no retries
+    burned on a MappingError raised inside the runner."""
+    from herdsman_tpu.circuit.model import MappingError
+
+    calls = []
+
+    def runner(job):
+        calls.append(1)
+        raise MappingError("schema mismatch")
+
+    ks, st, ex, fu = _setup_exec(tmp_path, runner)
+    job = ex.schedule_job("s", _simple_plan(fu))
+    done = ex.wait_for_job("s", job.job_uuid, timeout=10)
+    assert done.status == JobStatus.FAILED
+    assert "schema mismatch" in done.message
+    assert len(calls) == 1  # fail-fast, not RETRY_LIMIT attempts
+    ks.remove_key("s", SchemaType.TFHE_BOOL)  # locks released
+    ex.shutdown()
+
+
+def test_concurrent_job_admission(tmp_path):
+    """With concurrent_workers=2, two queued jobs run simultaneously (the
+    reference's greedy slot-filling, executor.cpp:96-113): both runners
+    must be in-flight at the same moment to pass the barrier."""
+    import threading
+
+    barrier = threading.Barrier(2, timeout=10)
+
+    def runner(job):
+        barrier.wait()  # deadlocks (-> Barrier timeout) if jobs serialize
+        return 1, 0, {}
+
+    ks = KeyService(tmp_path / "keys")
+    st = StorageService(tmp_path / "storage")
+    ex = ExecutionService(ks, st, runner, concurrent_workers=2)
+    ks.add_key("s", SchemaType.TFHE_BOOL, b"k")
+    fu = st.create_data_frame("s", "in", SchemaType.TFHE_BOOL, COLS, 2, 1)
+    st.append_to_data_frame("s", fu, rowcodec.frame_rows([b"a" * 8, b"b" * 8]))
+    st.mark_data_frame_as_uploaded("s", fu)
+    j1 = ex.schedule_job("s", _simple_plan(fu))
+    j2 = ex.schedule_job("s", _simple_plan(fu))
+    assert ex.wait_for_job("s", j1.job_uuid, 15).status == JobStatus.COMPLETED
+    assert ex.wait_for_job("s", j2.job_uuid, 15).status == JobStatus.COMPLETED
+    ex.shutdown()
+
+
+def test_branch_parallel_stage_execution(tmp_path):
+    """A two-branch plan with concurrency_limit=2 overlaps its independent
+    mapper stages (reference execution_service.cpp:312-362 + per-job
+    concurrency_limit :138-165): both stages must be in-flight at once."""
+    import threading
+
+    import numpy as np
+
+    from herdsman_tpu.circuit import (
+        CircuitBuilder, ExecutionPlan, InputStage, MapperStage, OutputStage,
+    )
+    from herdsman_tpu.circuit.dag import DAG
+    from herdsman_tpu.compiler.stages import (FrameData, PlanCompiler,
+                                              StageResult)
+
+    b = CircuitBuilder([ColumnMeta("v", DataType.BIT)])
+    b.output("v", b.input_bit("v"))
+    circ1, circ2 = b.build(), b.build()
+
+    g = DAG()
+    inp = g.emplace(InputStage("f"))
+    m1 = g.emplace(MapperStage(circ1))
+    m2 = g.emplace(MapperStage(circ2))
+    o1 = g.emplace(OutputStage("a"))
+    o2 = g.emplace(OutputStage("b"))
+    g.add_edge(inp, m1)
+    g.add_edge(inp, m2)
+    g.add_edge(m1, o1)
+    g.add_edge(m2, o2)
+    plan = ExecutionPlan(SchemaType.TFHE_BOOL, g)
+
+    barrier = threading.Barrier(2, timeout=10)
+
+    class StubCompiler(PlanCompiler):
+        def __init__(self):  # no device key needed
+            super().__init__(dsk=None, engine="conv_i8")
+
+        def run_mapper(self, stage, parent):
+            barrier.wait()  # Barrier timeout if branches serialize
+            return StageResult(parent, tasks=1, bootstraps=0)
+
+    frame = FrameData((ColumnMeta("v", DataType.BIT),),
+                      np.zeros((2, 1, 3), dtype=np.uint32), 1)
+    res = StubCompiler().execute(plan, {"f": frame}, max_parallel=2)
+    assert res.total_tasks == 2
+    assert set(res.outputs) == {o1.node_id(), o2.node_id()}
