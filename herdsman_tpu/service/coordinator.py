@@ -129,6 +129,7 @@ class Coordinator:
             config.mesh_workers.engine if config.mesh_workers else "conv_i8"
         )
         self._session_dsk: dict[str, object] = {}  # session -> DeviceServerKey
+        self._offload_group = None  # lazy OffloadWorkerGroup (workers.lambda)
         self.execution.set_runner(self._run_job)
 
     # ---- auth (reference src/controller/auth_controller.cpp) ----
@@ -410,6 +411,16 @@ class Coordinator:
         return make_mesh(batch=mw.batch_axis, limb=mw.limb_axis)
 
     def _run_job(self, job: JobDescriptor):
+        if self.config.lambda_workers is not None:
+            # elastic CPU-offload dispatch (the reference's
+            # build_worker_group lambda branch, src/main.cpp:67-84)
+            from herdsman_tpu.service.offload import (OffloadJobRunner,
+                                                      OffloadWorkerGroup)
+            if self._offload_group is None:
+                lw = self.config.lambda_workers
+                self._offload_group = OffloadWorkerGroup(
+                    lw.address, lw.concurrency_limit, self.storage)
+            return OffloadJobRunner(self.storage, self._offload_group)(job)
         dsk = self._device_key(job.session_uuid)
         runner = StorageJobRunner(self.storage, dsk, engine=self._engine,
                                   mesh=self._mesh())
@@ -445,3 +456,5 @@ class Coordinator:
 
     def shutdown(self) -> None:
         self.execution.shutdown()
+        if self._offload_group is not None:
+            self._offload_group.shutdown()

@@ -16,3 +16,10 @@ class ResourceLockedException(RuntimeError):
 
 class InvalidTokenException(PermissionError):
     pass
+
+
+class TaskFailedException(RuntimeError):
+    """A dispatched task exhausted its per-task retries (or hit a worker
+    ERROR).  Terminal at the job level: the reference fails the whole job
+    once a task burns RETRY_LIMIT (executor.cpp:158-178) — the job is NOT
+    re-queued on top of the per-task retries."""

@@ -41,7 +41,8 @@ from typing import Callable, Optional
 from herdsman_tpu.circuit.model import MappingError
 from herdsman_tpu.circuit.plan import ExecutionPlan
 from herdsman_tpu.compiler.analyzer import analyze_required_resources
-from herdsman_tpu.service.errors import ObjectNotFoundException
+from herdsman_tpu.service.errors import (ObjectNotFoundException,
+                                         TaskFailedException)
 from herdsman_tpu.service.keystore import KeyService
 from herdsman_tpu.service.storage import StorageService
 
@@ -53,7 +54,8 @@ RETRY_LIMIT = 3  # reference include/execution/executor/executor.hpp:17
 # TIME_OUT (executor.cpp:136-178).  The analog here: deterministic
 # validation/semantic errors are terminal; anything else is presumed
 # transient and retried.
-TERMINAL_ERRORS = (MappingError, ObjectNotFoundException)
+TERMINAL_ERRORS = (MappingError, ObjectNotFoundException,
+                   TaskFailedException)
 
 
 class JobStatus(enum.IntEnum):

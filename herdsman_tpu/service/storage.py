@@ -254,6 +254,18 @@ class StorageService:
             self._uploads.pop(frame_uuid, None)
             self._save_catalog()
 
+    def finalize_external_frame(self, session_uuid: str,
+                                frame_uuid: str) -> None:
+        """Mark a frame whose partitions were written OUT-OF-BAND (by
+        offload workers sharing the filesystem, the reference's worker ⇄
+        storage data plane, lambda_http_worker_group.cpp:69-74) as
+        uploaded, bypassing the streamed-upload row accounting."""
+        with self._lock:
+            entry = self._find(session_uuid, frame_uuid)
+            entry.uploaded = True
+            self._uploads.pop(frame_uuid, None)
+            self._save_catalog()
+
     # ---- partition IO ----
 
     def read_partition_rows(self, session_uuid: str, frame_uuid: str,
