@@ -198,18 +198,23 @@ def compile_circuit(circuit: Circuit, dsk: DeviceServerKey,
 
         axis = dict(zip(mesh.axis_names, mesh.devices.shape))["batch"]
         s = NamedSharding(mesh, PartitionSpec("batch"))
-        jfn = jax.jit(run, in_shardings=s, out_shardings=s)
+        jfn = jax.jit(run, out_shardings=s)
 
         def padded(inputs: jax.Array) -> jax.Array:
             """Explicit shardings need rows % batch_axis == 0: pad with
-            copies of row 0 (reduce-fold tails shrink below the axis)."""
+            copies of row 0 (reduce-fold tails shrink below the axis).
+            Inputs are RE-placed with device_put rather than jit
+            in_shardings: fold slicing can leave a committed replicated
+            sharding on intermediate rows, which in_shardings would
+            reject instead of resharding."""
             r = inputs.shape[0]
             pad = (-r) % axis
             if pad:
                 fill = jnp.broadcast_to(inputs[:1],
                                         (pad,) + inputs.shape[1:])
-                return jfn(jnp.concatenate([inputs, fill], axis=0))[:r]
-            return jfn(inputs)
+                inputs = jnp.concatenate([inputs, fill], axis=0)
+            out = jfn(jax.device_put(inputs, s))
+            return out[:r] if pad else out
 
         return padded
     return jax.jit(run)

@@ -20,6 +20,7 @@ All collectives ride ICI via jax.shard_map + jax.lax.psum.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -166,12 +167,103 @@ def bootstrap_bool_sharded(
     return fn(ct, bsk, dsk.ksk_limbs)
 
 
+def _engine_key_layout(engine: str) -> str:
+    """BSK layout field a given engine consumes (registry lookup across
+    the three engine tiers)."""
+    if engine.startswith("pallas"):
+        bs._register_pallas_engine()
+    for reg in (bs.STEP_ENGINES, bs.ROTATION_ENGINES, bs.ENGINES):
+        if engine in reg:
+            return reg[engine][1]
+    raise KeyError(f"unknown engine {engine!r}")
+
+
+@functools.lru_cache(maxsize=None)
+def _pbs_exec_sharded(mesh: Mesh, engine: str, k: int, key_layout: str,
+                      params, unroll: bool):
+    """Jitted DP-sharded whole-PBS pipeline for k interleaved LUTs: the
+    ciphertext batch shards over ALL mesh devices (pure data parallelism —
+    the reference's one-partition-per-worker dispatch), keys and the test
+    polynomial replicate; zero collectives.  Cached per (mesh, engine, k)
+    like ops.pbs._pbs_exec so LUT-table changes never retrace."""
+    p = params
+    coarse = k.bit_length() - 1
+    dp = P(tuple(mesh.axis_names))
+
+    def body(ct, bsk_arr, ksk_limbs, tv):
+        # shard_map bodies must not close over device arrays: rebuild the
+        # key container from the shard_map arguments only
+        local = DeviceServerKey(
+            params=p, bsk_ext=None, bsk_conv=None, bsk_bt=None,
+            ksk_limbs=ksk_limbs, ksk=None,
+        )
+        local = dataclasses.replace(local, **{key_layout: bsk_arr})
+        acc = bs.blind_rotate_batch(local, ct, tv, engine=engine,
+                                    coarse_bits=coarse, unroll=unroll)
+        raws = jnp.concatenate(
+            [bs.sample_extract_batch(p, acc, offset=j) for j in range(k)],
+            axis=0,
+        )
+        ks = bs.key_switch_batch(local, raws)
+        return ks.reshape(k, ct.shape[0], ks.shape[-1])
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(dp, P(), P(), P()),
+        out_specs=P(None, tuple(mesh.axis_names)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def pbs_many_batch_sharded(
+    dsk: DeviceServerKey, mesh: Mesh, ct: jax.Array, tables,
+    msg_bits: int, engine: str = "conv_i8", unroll: bool = False,
+) -> list[jax.Array]:
+    """k LUTs over the SAME batch with the batch sharded over every mesh
+    device: [B, n+1] -> k x [B, n+1], bit-identical to
+    ops.pbs.pbs_many_batch (per-row math is untouched; sharding only
+    changes placement).  This is the PBS tier's multi-chip path — the
+    shortint/radix front ends ride it via ShortContext(mesh=...)."""
+    from herdsman_tpu.ops import pbs as pbs_mod
+
+    p = dsk.params
+    k = len(tables)
+    if k == 1:
+        tv = pbs_mod.lut_test_poly(p, tables[0], msg_bits)
+    else:
+        assert k & (k - 1) == 0, "LUT count must be a power of two"
+        tv = pbs_mod.lut_test_poly_many(p, tables, msg_bits)
+    key_layout = _engine_key_layout(engine)
+    n_dev = int(mesh.devices.size)
+    B0 = ct.shape[0]
+    pad = (-B0) % n_dev
+    if pad:
+        ct = jnp.concatenate(
+            [ct, jnp.zeros((pad, ct.shape[1]), dtype=ct.dtype)], axis=0
+        )
+    fn = _pbs_exec_sharded(mesh, engine, k, key_layout, p, unroll)
+    out = fn(ct, getattr(dsk, key_layout), dsk.ksk_limbs, tv)
+    return [out[j, :B0] for j in range(k)]
+
+
+def pbs_batch_sharded(
+    dsk: DeviceServerKey, mesh: Mesh, ct: jax.Array, table,
+    msg_bits: int, engine: str = "conv_i8", unroll: bool = False,
+) -> jax.Array:
+    """Single-LUT programmable bootstrap, batch sharded over the mesh."""
+    return pbs_many_batch_sharded(dsk, mesh, ct, [table], msg_bits,
+                                  engine=engine, unroll=unroll)[0]
+
+
 def gate_step_sharded(
     dsk: DeviceServerKey, mesh: Mesh, gate_ids: jax.Array,
     c1: jax.Array, c2: jax.Array, engine: str = "conv_i8",
+    unroll: bool = False,
 ) -> jax.Array:
     """One full herd step on the mesh: heterogeneous gate linear combine +
     sharded bootstrap — the flagship multi-chip program (the reference's
     `schedule_tasks_on_workers` loop collapsed into one XLA program)."""
     lin = gate_ops.gate_linear(dsk.params.n, gate_ids, c1, c2)
-    return bootstrap_bool_sharded(dsk, mesh, lin, engine=engine)
+    return bootstrap_bool_sharded(dsk, mesh, lin, engine=engine,
+                                  unroll=unroll)

@@ -35,8 +35,13 @@ class ShortContext:
     def __init__(self, params: TFHEParams, msg_bits: int = 2,
                  carry_bits: int = 2, engine: str = "conv_i8",
                  seed: int = 0, keys=None, dsk=None,
-                 many_lut: bool | None = None):
+                 many_lut: bool | None = None, mesh=None):
         self.params = params
+        # multi-chip: a jax.sharding.Mesh shards every PBS batch over all
+        # mesh devices (mesh.pbs_batch_sharded) — the whole shortint/radix
+        # tier then runs data-parallel over the herd, bit-identical to the
+        # single-device path (tests/test_mesh.py)
+        self.mesh = mesh
         self.msg_bits = msg_bits
         self.carry_bits = carry_bits
         self.space_bits = msg_bits + carry_bits  # working precision
@@ -112,6 +117,10 @@ class ShortContext:
         return [int(v) % self.modulus for v in vals]
 
     def _pbs(self, data, table) -> jnp.ndarray:
+        if self.mesh is not None:
+            from herdsman_tpu.mesh import pbs_batch_sharded
+            return pbs_batch_sharded(self.dsk, self.mesh, data, table,
+                                     self.space_bits, engine=self.engine)
         return pbs.pbs_batch(self.dsk, data, table, self.space_bits,
                              engine=self.engine)
 
@@ -121,6 +130,11 @@ class ShortContext:
         k = len(tables)
         if (self.many_lut and k > 1 and k & (k - 1) == 0
                 and k <= pbs.many_lut_capacity(self.params, self.space_bits)):
+            if self.mesh is not None:
+                from herdsman_tpu.mesh import pbs_many_batch_sharded
+                return pbs_many_batch_sharded(
+                    self.dsk, self.mesh, data, tables, self.space_bits,
+                    engine=self.engine)
             return pbs.pbs_many_batch(self.dsk, data, tables,
                                       self.space_bits, engine=self.engine)
         return [self._pbs(data, t) for t in tables]

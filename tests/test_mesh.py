@@ -172,3 +172,92 @@ def test_pod_mesh_runs_sharded_bootstrap(toy_keys):
         bootstrap_bool_sharded(dsk_sharded, mesh, ct, engine="conv_i8")
     )
     assert (single == sharded).all()
+
+
+# ---------------------------------------------------------------------------
+# sharded PBS tier (shortint/radix multi-chip path)
+# ---------------------------------------------------------------------------
+
+def test_sharded_pbs_bit_identical(pbs_keys):
+    """DP-sharded programmable bootstrap == single-device pbs_batch, array-
+    equal, including a batch NOT divisible by the device count (pad+slice)."""
+    from herdsman_tpu.core import TEST_PBS
+    from herdsman_tpu.mesh import pbs_batch_sharded
+    from herdsman_tpu.ops import pbs
+
+    ck, sk, rng = pbs_keys
+    mesh = make_mesh(batch=8, limb=1)
+    dsk = device_server_key(sk, layouts=("bsk_conv",))
+    space_bits = 4
+    table = [(3 * m + 1) % 16 for m in range(16)]
+    B = 5  # not divisible by 8
+    msgs = rng.integers(0, 4, B)
+    ct = jnp.asarray(
+        ref.lwe_encrypt_raw(ck, pbs.encode(TEST_PBS, msgs, space_bits), rng))
+    single = np.asarray(
+        pbs.pbs_batch(dsk, ct, table, space_bits, engine="conv_i8"))
+    sharded = np.asarray(pbs_batch_sharded(
+        dsk, mesh, ct, table, space_bits, engine="conv_i8"))
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_sharded_pbs_many_lut_bit_identical(pbs_keys):
+    """Many-LUT (k LUTs, one rotation) sharded == single-device, per LUT."""
+    import dataclasses as dc
+
+    from herdsman_tpu.core import TEST_PBS
+    from herdsman_tpu.mesh import pbs_many_batch_sharded
+    from herdsman_tpu.ops import pbs
+
+    ck0, sk0, rng = pbs_keys
+    # many-LUT needs N big enough for k interleaved windows
+    p = dc.replace(TEST_PBS, name="test_pbs_many_mesh", N=1024)
+    rng2 = np.random.default_rng(777)
+    ck, sk = ref.keygen(p, rng2)
+    mesh = make_mesh(batch=8, limb=1)
+    dsk = device_server_key(sk, layouts=("bsk_conv",))
+    space_bits = 4
+    tables = ([(m * m) % 16 for m in range(16)],
+              [(m + 7) % 16 for m in range(16)])
+    B = 6
+    msgs = rng2.integers(0, 4, B)
+    ct = jnp.asarray(
+        ref.lwe_encrypt_raw(ck, pbs.encode(p, msgs, space_bits), rng2))
+    single = pbs.pbs_many_batch(dsk, ct, tables, space_bits, engine="conv_i8")
+    sharded = pbs_many_batch_sharded(dsk, mesh, ct, tables, space_bits,
+                                     engine="conv_i8")
+    for s1, s2 in zip(single, sharded):
+        np.testing.assert_array_equal(np.asarray(s2), np.asarray(s1))
+
+
+def test_radix_multiply_on_mesh_bit_identical(pbs_keys):
+    """An 8-device radix multiply is bit-identical to single-device: the
+    whole integer front end rides ShortContext(mesh=...) (VERDICT round-1
+    item 1b)."""
+    from herdsman_tpu.core import TEST_PBS
+    from herdsman_tpu.radix import RadixContext
+    from herdsman_tpu.shortint import ShortContext
+
+    ck, sk, rng = pbs_keys
+    mesh = make_mesh(batch=8, limb=1)
+    a_vals, b_vals = [13, 42, 7], [11, 3, 29]
+
+    def run(mesh_arg):
+        short = ShortContext(TEST_PBS, msg_bits=2, carry_bits=2,
+                             keys=(ck, sk), mesh=mesh_arg)
+        rctx = RadixContext(short, n_blocks=3)
+        # identical ciphertexts across runs: fresh deterministic rng
+        short._rng = np.random.default_rng(20240817)
+        a = rctx.encrypt(a_vals)
+        b = rctx.encrypt(b_vals)
+        prod = a * b
+        return rctx, prod
+
+    rctx1, prod1 = run(None)
+    rctx2, prod2 = run(mesh)
+    assert rctx1.decrypt(prod1) == [(x * y) % 64
+                                    for x, y in zip(a_vals, b_vals)]
+    assert len(prod1.blocks) == len(prod2.blocks)
+    for b1, b2 in zip(prod1.blocks, prod2.blocks):
+        np.testing.assert_array_equal(np.asarray(b2.data),
+                                      np.asarray(b1.data))
