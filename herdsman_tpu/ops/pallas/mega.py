@@ -44,6 +44,15 @@ def _neg_shift(v, s, N):
     )
 
 
+def _neg_shift_nd(v, s, N):
+    """_neg_shift over the LAST axis for any rank (mega10's fused 3D
+    stream)."""
+    return jnp.concatenate(
+        [jnp.zeros_like(v[..., N - s:]) - v[..., N - s:], v[..., : N - s]],
+        axis=-1,
+    )
+
+
 def _mega_kernel(a_ref, acc0_ref, bt_ref, out_ref,
                  acc_sc, dig_sc, ep_sc, *, p: TFHEParams, P: int,
                  HALF: int, R: int):
@@ -1391,6 +1400,311 @@ def mega9_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
     )(a_t.reshape(p.n, 1, B), acc0, bsk_btj2)
 
 
+def _mega10_kernel(a_ref, acc0_ref, btj2_ref, out_ref, acc_sc, *,
+                   p: TFHEParams, P: int, HALF: int, R: int, G: int):
+    """mega-v10: mega8's windowed single-dot contraction with the
+    rotate/decompose VPU stream FUSED across the (k+1) accumulator polys.
+
+    mega8 runs the barrel rotate, diff, gadget rounding and digit
+    extraction (k+1) times per chunk-step on [Bt, N] arrays; the budget
+    ablations (docs/BENCH_LOG.md "Revised budget") show this un-overlapped
+    VPU stream — many small ops — is the entire remaining gap to the MXU
+    floor.  Here the accumulator group is viewed as ONE [(k+1)*Bt, N]
+    array: one barrel rotate, one diff, one rounding chain and one digit
+    extraction per level for ALL polys — same element volume, (k+1)x fewer
+    VPU ops, so per-op overhead stops dominating.  Digit tiles are then
+    sliced from the fused array ((c, sub) sublane/lane blocks, both
+    tile-aligned at Bt = 128, P = 128) into the same (sub ASC, r minor)
+    pack and the identical sliding-window dots as mega8."""
+    i = pl.program_id(1)
+    Bt = acc_sc.shape[2]
+    kp1 = p.k + 1
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(G):
+            for c in range(kp1):
+                acc_sc[g, c] = acc0_ref[g * Bt:(g + 1) * Bt, c, :]
+
+    W = p.bg_bits * p.levels
+    Bg = 1 << p.bg_bits
+    half = Bg >> 1
+    offset = sum(half << (p.bg_bits * t) for t in range(p.levels))
+    C4P = btj2_ref.shape[-1]
+    btj2_flat = btj2_ref[0].reshape(2 * HALF * R * P, C4P)
+
+    def compute_digits(g):
+        r_amt = a_ref[0, 0, g * Bt:(g + 1) * Bt].astype(U32)
+        v = acc_sc[g]                                    # [k+1, Bt, N] fused
+        rolled = v
+        for bit in range(p.log2_2N):
+            s = 1 << bit
+            shifted = (
+                _neg_shift_nd(rolled, s, p.N) if s < p.N
+                else jnp.zeros_like(rolled) - rolled
+            )
+            take_bit = (r_amt >> U32(bit)) & U32(1)
+            mask = (U32(0) - take_bit)[None, :, None]    # [1, Bt, 1]
+            rolled = jnp.where(
+                jnp.broadcast_to(mask, rolled.shape) != U32(0),
+                shifted, rolled)
+        diff = rolled - v
+        val = ((diff + U32(1 << (32 - W - 1))) >> U32(32 - W)) \
+            + U32(offset)
+        tiles: dict[tuple[int, int], jax.Array] = {}
+        for lev in range(p.levels):
+            shift = p.bg_bits * (p.levels - 1 - lev)
+            d8 = (((val >> U32(shift)) & U32(Bg - 1)).astype(I32)
+                  - I32(half)).astype(I8)                # [k+1, Bt, N]
+            for c in range(kp1):
+                row = c * p.levels + lev
+                for sub in range(HALF):
+                    tiles[(row, sub)] = d8[c, :, sub * P:(sub + 1) * P]
+        return jnp.concatenate(
+            [tiles[(r, sub)] for sub in range(HALF) for r in range(R)],
+            axis=-1,
+        )
+
+    def combine_into(g, ct, total):
+        a = total.reshape(total.shape[0], kp1, 4, P).astype(U32)
+        for c in range(kp1):
+            combined = (
+                a[:, c, 0, :]
+                + (a[:, c, 1, :] << U32(8))
+                + (a[:, c, 2, :] << U32(16))
+                + (a[:, c, 3, :] << U32(24))
+            )
+            acc_sc[g, c, :, ct * P:(ct + 1) * P] = (
+                acc_sc[g, c, :, ct * P:(ct + 1) * P] + combined
+            )
+
+    def do_dots(g, D):
+        prev = None
+        for ct in range(HALF):
+            o = (HALF - 1 - ct) * R * P
+            total = jnp.dot(D, btj2_flat[o:o + HALF * R * P],
+                            preferred_element_type=I32)
+            if prev is not None:
+                combine_into(g, prev[0], prev[1])
+            prev = (ct, total)
+        combine_into(g, prev[0], prev[1])
+
+    D = compute_digits(0)
+    for g in range(G):
+        D_next = compute_digits(g + 1) if g + 1 < G else None
+        do_dots(g, D)
+        D = D_next
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        for g in range(G):
+            for c in range(kp1):
+                out_ref[g * Bt:(g + 1) * Bt, c, :] = acc_sc[g, c]
+
+
+def mega10_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
+                        bsk_btj2: jax.Array) -> jax.Array:
+    """Same contract and key layout as mega8; fused-poly VPU stream."""
+    import os
+    p = params
+    P, HALF = bt_tile(p)
+    R = (p.k + 1) * p.levels
+    B = acc0.shape[0]
+    bt_env = int(os.environ.get("HERDSMAN_MEGA_BT", "128"))
+    Bt = B if B <= bt_env else (bt_env if B % bt_env == 0 else 128)
+    assert B % Bt == 0, "pad batch to a multiple of 128 first"
+    BC = B // Bt
+    C4P = (p.k + 1) * 4 * P
+    acc_bytes = (p.k + 1) * Bt * p.N * 4
+    g_env = os.environ.get("HERDSMAN_MEGA_G")
+    G = int(g_env) if g_env else max(1, min(BC, (8 << 20) // acc_bytes))
+    while BC % G:
+        G -= 1
+    BO = BC // G
+
+    kwargs = {}
+    if jax.default_backend() == "tpu":
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    return pl.pallas_call(
+        functools.partial(_mega10_kernel, p=p, P=P, HALF=HALF, R=R, G=G),
+        grid=(BO, p.n),
+        in_specs=[
+            pl.BlockSpec((1, 1, G * Bt), lambda bo, i: (i, 0, bo),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * Bt, p.k + 1, p.N), lambda bo, i: (bo, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 2 * HALF, R, P, C4P),
+                lambda bo, i: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((G * Bt, p.k + 1, p.N),
+                               lambda bo, i: (bo, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, p.k + 1, p.N), U32),
+        scratch_shapes=[
+            pltpu.VMEM((G, p.k + 1, Bt, p.N), U32),       # group acc
+        ],
+        interpret=jax.default_backend() != "tpu",
+        **kwargs,
+    )(a_t.reshape(p.n, 1, B), acc0, bsk_btj2)
+
+
+def _mega11_kernel(a_ref, acc0_ref, btj2j_ref, out_ref, acc_sc, *,
+                   p: TFHEParams, P: int, HALF: int, R: int, G: int):
+    """mega-v11: mega10's fused-poly VPU stream + LIMB-MAJOR key columns.
+
+    The ``bsk_btj2j`` layout orders output columns (j, c, q) instead of
+    mega8/10's (c, j, q) — a free host-side permutation at key prep.  The
+    limb recombine then slices WHOLE limb planes ([Bt, (k+1)*P] each) off
+    the dot result and runs ONE shift/add chain for all polys instead of
+    (k+1) narrow per-poly chains: 1/(k+1) the recombine op count at equal
+    element volume.  The K2 ablations (docs/BENCH_LOG.md round 2) put the
+    recombine at ~25 ms of the 141 ms batch — the second-largest non-MXU
+    term after the decompose stream."""
+    i = pl.program_id(1)
+    Bt = acc_sc.shape[2]
+    kp1 = p.k + 1
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(G):
+            for c in range(kp1):
+                acc_sc[g, c] = acc0_ref[g * Bt:(g + 1) * Bt, c, :]
+
+    W = p.bg_bits * p.levels
+    Bg = 1 << p.bg_bits
+    half = Bg >> 1
+    offset = sum(half << (p.bg_bits * t) for t in range(p.levels))
+    C4P = btj2j_ref.shape[-1]
+    btj2_flat = btj2j_ref[0].reshape(2 * HALF * R * P, C4P)
+    KP = kp1 * P
+
+    def compute_digits(g):
+        r_amt = a_ref[0, 0, g * Bt:(g + 1) * Bt].astype(U32)
+        v = acc_sc[g]                                    # [k+1, Bt, N] fused
+        rolled = v
+        for bit in range(p.log2_2N):
+            s = 1 << bit
+            shifted = (
+                _neg_shift_nd(rolled, s, p.N) if s < p.N
+                else jnp.zeros_like(rolled) - rolled
+            )
+            take_bit = (r_amt >> U32(bit)) & U32(1)
+            mask = (U32(0) - take_bit)[None, :, None]    # [1, Bt, 1]
+            rolled = jnp.where(
+                jnp.broadcast_to(mask, rolled.shape) != U32(0),
+                shifted, rolled)
+        diff = rolled - v
+        val = ((diff + U32(1 << (32 - W - 1))) >> U32(32 - W)) \
+            + U32(offset)
+        tiles: dict[tuple[int, int], jax.Array] = {}
+        for lev in range(p.levels):
+            shift = p.bg_bits * (p.levels - 1 - lev)
+            d8 = (((val >> U32(shift)) & U32(Bg - 1)).astype(I32)
+                  - I32(half)).astype(I8)                # [k+1, Bt, N]
+            for c in range(kp1):
+                row = c * p.levels + lev
+                for sub in range(HALF):
+                    tiles[(row, sub)] = d8[c, :, sub * P:(sub + 1) * P]
+        return jnp.concatenate(
+            [tiles[(r, sub)] for sub in range(HALF) for r in range(R)],
+            axis=-1,
+        )
+
+    def combine_into(g, ct, total):
+        a = total.astype(U32)                    # [Bt, C4P], cols (j, c, q)
+        comb = (
+            a[:, 0:KP]
+            + (a[:, KP:2 * KP] << U32(8))
+            + (a[:, 2 * KP:3 * KP] << U32(16))
+            + (a[:, 3 * KP:4 * KP] << U32(24))
+        )                                        # [Bt, (k+1)*P], cols (c, q)
+        for c in range(kp1):
+            acc_sc[g, c, :, ct * P:(ct + 1) * P] = (
+                acc_sc[g, c, :, ct * P:(ct + 1) * P]
+                + comb[:, c * P:(c + 1) * P]
+            )
+
+    def do_dots(g, D):
+        prev = None
+        for ct in range(HALF):
+            o = (HALF - 1 - ct) * R * P
+            total = jnp.dot(D, btj2_flat[o:o + HALF * R * P],
+                            preferred_element_type=I32)
+            if prev is not None:
+                combine_into(g, prev[0], prev[1])
+            prev = (ct, total)
+        combine_into(g, prev[0], prev[1])
+
+    D = compute_digits(0)
+    for g in range(G):
+        D_next = compute_digits(g + 1) if g + 1 < G else None
+        do_dots(g, D)
+        D = D_next
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        for g in range(G):
+            for c in range(kp1):
+                out_ref[g * Bt:(g + 1) * Bt, c, :] = acc_sc[g, c]
+
+
+def mega11_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
+                        bsk_btj2j: jax.Array) -> jax.Array:
+    """Same contract as mega8/10 but consuming the limb-major ``bsk_btj2j``
+    key layout."""
+    import os
+    p = params
+    P, HALF = bt_tile(p)
+    R = (p.k + 1) * p.levels
+    B = acc0.shape[0]
+    bt_env = int(os.environ.get("HERDSMAN_MEGA_BT", "128"))
+    Bt = B if B <= bt_env else (bt_env if B % bt_env == 0 else 128)
+    assert B % Bt == 0, "pad batch to a multiple of 128 first"
+    BC = B // Bt
+    C4P = (p.k + 1) * 4 * P
+    acc_bytes = (p.k + 1) * Bt * p.N * 4
+    g_env = os.environ.get("HERDSMAN_MEGA_G")
+    G = int(g_env) if g_env else max(1, min(BC, (8 << 20) // acc_bytes))
+    while BC % G:
+        G -= 1
+    BO = BC // G
+
+    kwargs = {}
+    if jax.default_backend() == "tpu":
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    return pl.pallas_call(
+        functools.partial(_mega11_kernel, p=p, P=P, HALF=HALF, R=R, G=G),
+        grid=(BO, p.n),
+        in_specs=[
+            pl.BlockSpec((1, 1, G * Bt), lambda bo, i: (i, 0, bo),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * Bt, p.k + 1, p.N), lambda bo, i: (bo, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 2 * HALF, R, P, C4P),
+                lambda bo, i: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((G * Bt, p.k + 1, p.N),
+                               lambda bo, i: (bo, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, p.k + 1, p.N), U32),
+        scratch_shapes=[
+            pltpu.VMEM((G, p.k + 1, Bt, p.N), U32),       # group acc
+        ],
+        interpret=jax.default_backend() != "tpu",
+        **kwargs,
+    )(a_t.reshape(p.n, 1, B), acc0, bsk_btj2j)
+
+
 def _register() -> None:
     bs.ROTATION_ENGINES = getattr(bs, "ROTATION_ENGINES", {})
     bs.ROTATION_ENGINES.setdefault("pallas_mega",
@@ -1411,6 +1725,10 @@ def _register() -> None:
                                    (mega8_blind_rotate, "bsk_btj2"))
     bs.ROTATION_ENGINES.setdefault("pallas_mega9",
                                    (mega9_blind_rotate, "bsk_btj2"))
+    bs.ROTATION_ENGINES.setdefault("pallas_mega10",
+                                   (mega10_blind_rotate, "bsk_btj2"))
+    bs.ROTATION_ENGINES.setdefault("pallas_mega11",
+                                   (mega11_blind_rotate, "bsk_btj2j"))
 
 
 _register()

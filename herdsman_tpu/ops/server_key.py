@@ -71,6 +71,7 @@ class DeviceServerKey:
     ksk: Any           # u32 [kN, ks_levels, n+1] (fallback engine)
     bsk_btj: Any = None  # i8 [n, HALF, R, P, (k+1)*4*P] j-major BT (mega3)
     bsk_btj2: Any = None  # i8 [n, 2*HALF, R, P, (k+1)*4*P] windowed (mega8)
+    bsk_btj2j: Any = None  # as btj2 with (j, c, q) column order (mega11)
 
     @property
     def R(self) -> int:
@@ -121,6 +122,11 @@ def device_server_key(
     if "bsk_btj2" in layouts:
         bsk_btj2 = _block_toeplitz_layout_device(p, ext, windowed=True)
 
+    bsk_btj2j = None
+    if "bsk_btj2j" in layouts:
+        bsk_btj2j = _block_toeplitz_layout_device(p, ext, windowed=True,
+                                                  col_order="jcq")
+
     ksk = sk.ksk  # [kN, t, n+1] u32
     ksk_limbs = _np_i8_limbs(ksk).reshape(p.kN * p.ks_levels, (p.n + 1) * 4)
 
@@ -133,13 +139,16 @@ def device_server_key(
         ksk=jnp.asarray(ksk) if "ksk" in layouts else None,
         bsk_btj=bsk_btj,
         bsk_btj2=bsk_btj2,
+        bsk_btj2j=bsk_btj2j,
     )
 
 
 def layouts_for_engine(engine: str) -> tuple[str, ...]:
     """Key layout(s) an engine consumes (single source of truth — used by
     the eager API, shortint, the coordinator and bench)."""
-    if engine in ("pallas_mega8", "pallas_mega9"):
+    if engine == "pallas_mega11":
+        return ("bsk_btj2j",)
+    if engine in ("pallas_mega8", "pallas_mega9", "pallas_mega10"):
         return ("bsk_btj2",)
     if engine in ("pallas_mega3", "pallas_mega4", "pallas_mega5",
                   "pallas_mega6", "pallas_mega7"):
@@ -162,7 +171,8 @@ def fit_engine(engine: str, params: TFHEParams,
     that builds a DeviceServerKey from an engine name (eager API, shortint,
     coordinator, bench) must route through this so none of them can OOM the
     device at key ingest."""
-    if engine not in ("pallas_mega8", "pallas_mega9"):
+    if engine not in ("pallas_mega8", "pallas_mega9", "pallas_mega10",
+                      "pallas_mega11"):
         return engine
     P, HALF = bt_tile(params)
     btj2_bytes = (params.n * 2 * HALF * (params.k + 1) * params.levels
@@ -206,7 +216,8 @@ def _block_toeplitz_layout(p: TFHEParams, ext: np.ndarray) -> np.ndarray:
 
 def _block_toeplitz_layout_device(p: TFHEParams, ext: np.ndarray,
                                   j_major: bool = False,
-                                  windowed: bool = False) -> jax.Array:
+                                  windowed: bool = False,
+                                  col_order: str = "cjq") -> jax.Array:
     """`_block_toeplitz_layout` computed ON DEVICE: ships only ext
     (n*R*(k+1)*2N u32, ~50 MB at STD128_FAST) and expands with a jitted
     per-step gather + limb split (`lax.map` over the n steps), writing the
@@ -249,7 +260,15 @@ def _block_toeplitz_layout_device(p: TFHEParams, ext: np.ndarray,
         limbs = ((u[..., None] >> shifts) & jnp.uint32(0xFF)).astype(
             jnp.int32) - 128  # [R, kp1, M, P, P, 4]
         if j_major or windowed:
-            reord = jnp.transpose(limbs.astype(jnp.int8), (2, 0, 3, 1, 5, 4))
+            if col_order == "jcq":
+                # limb-major columns (j, c, q): the kernel's recombine then
+                # slices WHOLE limbs ([Bt, (k+1)P] each) instead of 4*(k+1)
+                # per-c chains — 1/(k+1) the shift/add op count (mega11)
+                reord = jnp.transpose(limbs.astype(jnp.int8),
+                                      (2, 0, 3, 5, 1, 4))
+            else:
+                reord = jnp.transpose(limbs.astype(jnp.int8),
+                                      (2, 0, 3, 1, 5, 4))
             return reord.reshape(M, R, P, kp1 * 4 * P)
         reord = jnp.transpose(limbs.astype(jnp.int8), (0, 2, 3, 1, 5, 4))
         return reord.reshape(R, M, P, kp1 * 4 * P)

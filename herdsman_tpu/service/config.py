@@ -56,6 +56,9 @@ class SecurityConfig:
 @dataclasses.dataclass
 class LoggingConfig:
     level: str = "info"
+    # when set, every job writes a jax.profiler trace (XLA/TPU timeline,
+    # TensorBoard/Perfetto-viewable) under <profile_dir>/<job_uuid>/
+    profile_dir: str = ""
 
 
 @dataclasses.dataclass
@@ -128,7 +131,10 @@ def load_config(path: str) -> Config:
     level = str(logging_node.get("level", "info")).lower()
     if level not in ("debug", "info", "warning", "error"):
         raise ConfigError(f"unknown logging level {level!r}")
-    cfg.logging = LoggingConfig(level=level)
+    cfg.logging = LoggingConfig(
+        level=level,
+        profile_dir=str(logging_node.get("profile_dir", "")),
+    )
 
     workers = raw.get("workers", {})
     worker_type = os.environ.get("WORKER_TYPE", "").lower()

@@ -411,6 +411,15 @@ class Coordinator:
         return make_mesh(batch=mw.batch_axis, limb=mw.limb_axis)
 
     def _run_job(self, job: JobDescriptor):
+        if self.config.logging.profile_dir:
+            from herdsman_tpu.utils import tracing
+            import os.path
+            with tracing.trace(os.path.join(self.config.logging.profile_dir,
+                                            job.job_uuid)):
+                return self._run_job_inner(job)
+        return self._run_job_inner(job)
+
+    def _run_job_inner(self, job: JobDescriptor):
         if self.config.lambda_workers is not None:
             # elastic CPU-offload dispatch (the reference's
             # build_worker_group lambda branch, src/main.cpp:67-84)
