@@ -124,6 +124,17 @@ def bootstrap_bool_sharded(
     if engine not in bs.ENGINES:
         entry = bs.STEP_ENGINES.get(engine) or bs.ROTATION_ENGINES[engine]
         key_layout = entry[1]
+        # DP-only is a MEASURED design decision for the mega tier, not a
+        # gap: limb-sharding would split the GGSW-row contraction (psum of
+        # [Bt, C4P] i32 per rotation step, n per bootstrap) but the serial
+        # VPU stream (rotate/decompose/pack, ~40 of mega11's 115 ms/batch
+        # at STD128_K2 — docs/BENCH_LOG.md round 2) is NOT divisible: each
+        # limb shard still rotates the full replicated accumulator, so at
+        # limb=2 per-chip time is >=37.5 (dots/2) + 40 (stream) + psum
+        # latency ~= 67% scaling efficiency BEFORE any ICI cost.  Batch
+        # sharding divides everything at zero collectives.  EP-tier
+        # engines (bs.ENGINES) keep the limb axis for when a single
+        # ciphertext must span chips.
         assert dict(zip(mesh.axis_names, mesh.devices.shape)).get(
             "limb", 1) == 1, "step/rotation engines shard over batch only"
 

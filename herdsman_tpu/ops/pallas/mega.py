@@ -1554,7 +1554,8 @@ def mega10_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
 
 
 def _mega11_kernel(a_ref, acc0_ref, btj2j_ref, out_ref, acc_sc, *,
-                   p: TFHEParams, P: int, HALF: int, R: int, G: int):
+                   p: TFHEParams, P: int, HALF: int, R: int, G: int,
+                   ablate: str = "", extract: str = "base"):
     """mega-v11: mega10's fused-poly VPU stream + LIMB-MAJOR key columns.
 
     The ``bsk_btj2j`` layout orders output columns (j, c, q) instead of
@@ -1584,10 +1585,15 @@ def _mega11_kernel(a_ref, acc0_ref, btj2j_ref, out_ref, acc_sc, *,
     KP = kp1 * P
 
     def compute_digits(g):
+        if ablate == "nodigits":
+            # probe-only: constant digits, no rotate/decompose/pack at all —
+            # the dots+combine+grid floor
+            return jnp.ones((Bt, HALF * R * P), dtype=I8)
         r_amt = a_ref[0, 0, g * Bt:(g + 1) * Bt].astype(U32)
         v = acc_sc[g]                                    # [k+1, Bt, N] fused
         rolled = v
-        for bit in range(p.log2_2N):
+        nbits = 1 if ablate == "rot1" else p.log2_2N
+        for bit in range(nbits):
             s = 1 << bit
             shifted = (
                 _neg_shift_nd(rolled, s, p.N) if s < p.N
@@ -1601,11 +1607,22 @@ def _mega11_kernel(a_ref, acc0_ref, btj2j_ref, out_ref, acc_sc, *,
         diff = rolled - v
         val = ((diff + U32(1 << (32 - W - 1))) >> U32(32 - W)) \
             + U32(offset)
+        if extract == "sx":
+            # sign-extend extraction: one xor flips every digit's sign bit
+            # ((d + half) mod Bg then ^half == the digit's two's-complement
+            # byte), then each digit is a left-align + arithmetic right
+            # shift — no mask, no subtract (EXACT, A/B candidate)
+            xor_all = sum(half << (p.bg_bits * t) for t in range(p.levels))
+            valx = (val ^ U32(xor_all)).astype(I32)
         tiles: dict[tuple[int, int], jax.Array] = {}
         for lev in range(p.levels):
             shift = p.bg_bits * (p.levels - 1 - lev)
-            d8 = (((val >> U32(shift)) & U32(Bg - 1)).astype(I32)
-                  - I32(half)).astype(I8)                # [k+1, Bt, N]
+            if extract == "sx":
+                d8 = ((valx << I32(32 - shift - p.bg_bits))
+                      >> I32(32 - p.bg_bits)).astype(I8)
+            else:
+                d8 = (((val >> U32(shift)) & U32(Bg - 1)).astype(I32)
+                      - I32(half)).astype(I8)            # [k+1, Bt, N]
             for c in range(kp1):
                 row = c * p.levels + lev
                 for sub in range(HALF):
@@ -1656,7 +1673,9 @@ def _mega11_kernel(a_ref, acc0_ref, btj2j_ref, out_ref, acc_sc, *,
 def mega11_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
                         bsk_btj2j: jax.Array) -> jax.Array:
     """Same contract as mega8/10 but consuming the limb-major ``bsk_btj2j``
-    key layout."""
+    key layout.  HERDSMAN_MEGA_ABLATE in {rot1, nodigits} are probe-only
+    knobs; HERDSMAN_MEGA_EXTRACT=sx selects the (exact) sign-extend digit
+    extraction."""
     import os
     p = params
     P, HALF = bt_tile(p)
@@ -1679,8 +1698,11 @@ def mega11_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         )
+    ablate = os.environ.get("HERDSMAN_MEGA_ABLATE", "")
+    extract = os.environ.get("HERDSMAN_MEGA_EXTRACT", "base")
     return pl.pallas_call(
-        functools.partial(_mega11_kernel, p=p, P=P, HALF=HALF, R=R, G=G),
+        functools.partial(_mega11_kernel, p=p, P=P, HALF=HALF, R=R, G=G,
+                          ablate=ablate, extract=extract),
         grid=(BO, p.n),
         in_specs=[
             pl.BlockSpec((1, 1, G * Bt), lambda bo, i: (i, 0, bo),
@@ -1703,6 +1725,174 @@ def mega11_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
         interpret=jax.default_backend() != "tpu",
         **kwargs,
     )(a_t.reshape(p.n, 1, B), acc0, bsk_btj2j)
+
+
+def _mega12_kernel(a_ref, acc0_ref, btjj_ref, out_ref, acc_sc, *,
+                   p: TFHEParams, P: int, HALF: int, R: int, G: int,
+                   extract: str = "base"):
+    """mega-v12: mega7's SINGLE-WIDTH two-dot contraction with mega11's
+    limb-major recombine and mega10's fused-poly VPU stream.
+
+    Purpose: the N = 2048 shortint/radix tier — the doubled windowed key
+    of mega8/10/11 (~19 GiB there) does not fit HBM, but the recombine
+    overhead GROWS with HALF (= 16 at N = 2048: 16 column tiles of narrow
+    per-poly shift/add chains per chunk-step).  ``bsk_btjj`` is the btj
+    layout with (j, c, q) output-column order (free at key prep), so the
+    recombine slices whole limb planes exactly as mega11; digits are
+    packed (sub DESCENDING, r minor) for the contiguous two-dot
+    positive/negative runs of `_ep_column_total_jmajor_packed`.
+    """
+    from herdsman_tpu.ops.pallas.blind_rotate import (
+        _ep_column_total_jmajor_packed,
+    )
+
+    i = pl.program_id(1)
+    Bt = acc_sc.shape[2]
+    kp1 = p.k + 1
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(G):
+            for c in range(kp1):
+                acc_sc[g, c] = acc0_ref[g * Bt:(g + 1) * Bt, c, :]
+
+    W = p.bg_bits * p.levels
+    Bg = 1 << p.bg_bits
+    half = Bg >> 1
+    offset = sum(half << (p.bg_bits * t) for t in range(p.levels))
+    C4P = btjj_ref.shape[-1]
+    btj_flat = btjj_ref[0].reshape(HALF * R * P, C4P)
+    KP = kp1 * P
+
+    def compute_digits(g):
+        r_amt = a_ref[0, 0, g * Bt:(g + 1) * Bt].astype(U32)
+        v = acc_sc[g]                                    # [k+1, Bt, N] fused
+        rolled = v
+        for bit in range(p.log2_2N):
+            s = 1 << bit
+            shifted = (
+                _neg_shift_nd(rolled, s, p.N) if s < p.N
+                else jnp.zeros_like(rolled) - rolled
+            )
+            take_bit = (r_amt >> U32(bit)) & U32(1)
+            mask = (U32(0) - take_bit)[None, :, None]    # [1, Bt, 1]
+            rolled = jnp.where(
+                jnp.broadcast_to(mask, rolled.shape) != U32(0),
+                shifted, rolled)
+        diff = rolled - v
+        val = ((diff + U32(1 << (32 - W - 1))) >> U32(32 - W)) \
+            + U32(offset)
+        if extract == "sx":
+            xor_all = sum(half << (p.bg_bits * t) for t in range(p.levels))
+            valx = (val ^ U32(xor_all)).astype(I32)
+        tiles: dict[tuple[int, int], jax.Array] = {}
+        for lev in range(p.levels):
+            shift = p.bg_bits * (p.levels - 1 - lev)
+            if extract == "sx":
+                d8 = ((valx << I32(32 - shift - p.bg_bits))
+                      >> I32(32 - p.bg_bits)).astype(I8)
+            else:
+                d8 = (((val >> U32(shift)) & U32(Bg - 1)).astype(I32)
+                      - I32(half)).astype(I8)            # [k+1, Bt, N]
+            for c in range(kp1):
+                row = c * p.levels + lev
+                for sub in range(HALF):
+                    tiles[(row, sub)] = d8[c, :, sub * P:(sub + 1) * P]
+        # pack once: (sub DESCENDING, r minor) -> [Bt, HALF*R*P]
+        return jnp.concatenate(
+            [tiles[(r, sub)]
+             for sub in range(HALF - 1, -1, -1) for r in range(R)],
+            axis=-1,
+        )
+
+    def combine_into(g, ct, total):
+        a = total.astype(U32)                    # [Bt, C4P], cols (j, c, q)
+        comb = (
+            a[:, 0:KP]
+            + (a[:, KP:2 * KP] << U32(8))
+            + (a[:, 2 * KP:3 * KP] << U32(16))
+            + (a[:, 3 * KP:4 * KP] << U32(24))
+        )                                        # [Bt, (k+1)*P], cols (c, q)
+        for c in range(kp1):
+            acc_sc[g, c, :, ct * P:(ct + 1) * P] = (
+                acc_sc[g, c, :, ct * P:(ct + 1) * P]
+                + comb[:, c * P:(c + 1) * P]
+            )
+
+    def do_dots(g, D):
+        prev = None
+        for ct in range(HALF):
+            total = _ep_column_total_jmajor_packed(D, btj_flat, ct, P,
+                                                   HALF, R)
+            if prev is not None:
+                combine_into(g, prev[0], prev[1])
+            prev = (ct, total)
+        combine_into(g, prev[0], prev[1])
+
+    D = compute_digits(0)
+    for g in range(G):
+        D_next = compute_digits(g + 1) if g + 1 < G else None
+        do_dots(g, D)
+        D = D_next
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        for g in range(G):
+            for c in range(kp1):
+                out_ref[g * Bt:(g + 1) * Bt, c, :] = acc_sc[g, c]
+
+
+def mega12_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
+                        bsk_btjj: jax.Array) -> jax.Array:
+    """Same contract/geometry as mega7 but limb-major key columns."""
+    import os
+    p = params
+    P, HALF = bt_tile(p)
+    R = (p.k + 1) * p.levels
+    B = acc0.shape[0]
+    bt_env = int(os.environ.get("HERDSMAN_MEGA_BT", "128"))
+    Bt = B if B <= bt_env else (bt_env if B % bt_env == 0 else 128)
+    assert B % Bt == 0, "pad batch to a multiple of 128 first"
+    BC = B // Bt
+    C4P = (p.k + 1) * 4 * P
+    acc_bytes = (p.k + 1) * Bt * p.N * 4
+    g_env = os.environ.get("HERDSMAN_MEGA_G")
+    G = int(g_env) if g_env else max(1, min(BC, (8 << 20) // acc_bytes))
+    while BC % G:
+        G -= 1
+    BO = BC // G
+
+    extract = os.environ.get("HERDSMAN_MEGA_EXTRACT", "base")
+    kwargs = {}
+    if jax.default_backend() == "tpu":
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    return pl.pallas_call(
+        functools.partial(_mega12_kernel, p=p, P=P, HALF=HALF, R=R, G=G,
+                          extract=extract),
+        grid=(BO, p.n),
+        in_specs=[
+            pl.BlockSpec((1, 1, G * Bt), lambda bo, i: (i, 0, bo),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * Bt, p.k + 1, p.N), lambda bo, i: (bo, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, HALF, R, P, C4P),
+                lambda bo, i: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((G * Bt, p.k + 1, p.N),
+                               lambda bo, i: (bo, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, p.k + 1, p.N), U32),
+        scratch_shapes=[
+            pltpu.VMEM((G, p.k + 1, Bt, p.N), U32),       # group acc
+        ],
+        interpret=jax.default_backend() != "tpu",
+        **kwargs,
+    )(a_t.reshape(p.n, 1, B), acc0, bsk_btjj)
 
 
 def _register() -> None:
@@ -1729,6 +1919,8 @@ def _register() -> None:
                                    (mega10_blind_rotate, "bsk_btj2"))
     bs.ROTATION_ENGINES.setdefault("pallas_mega11",
                                    (mega11_blind_rotate, "bsk_btj2j"))
+    bs.ROTATION_ENGINES.setdefault("pallas_mega12",
+                                   (mega12_blind_rotate, "bsk_btjj"))
 
 
 _register()

@@ -72,6 +72,7 @@ class DeviceServerKey:
     bsk_btj: Any = None  # i8 [n, HALF, R, P, (k+1)*4*P] j-major BT (mega3)
     bsk_btj2: Any = None  # i8 [n, 2*HALF, R, P, (k+1)*4*P] windowed (mega8)
     bsk_btj2j: Any = None  # as btj2 with (j, c, q) column order (mega11)
+    bsk_btjj: Any = None   # as btj with (j, c, q) column order (mega12)
 
     @property
     def R(self) -> int:
@@ -122,6 +123,11 @@ def device_server_key(
     if "bsk_btj2" in layouts:
         bsk_btj2 = _block_toeplitz_layout_device(p, ext, windowed=True)
 
+    bsk_btjj = None
+    if "bsk_btjj" in layouts:
+        bsk_btjj = _block_toeplitz_layout_device(p, ext, j_major=True,
+                                                 col_order="jcq")
+
     bsk_btj2j = None
     if "bsk_btj2j" in layouts:
         bsk_btj2j = _block_toeplitz_layout_device(p, ext, windowed=True,
@@ -140,6 +146,7 @@ def device_server_key(
         bsk_btj=bsk_btj,
         bsk_btj2=bsk_btj2,
         bsk_btj2j=bsk_btj2j,
+        bsk_btjj=bsk_btjj,
     )
 
 
@@ -148,6 +155,8 @@ def layouts_for_engine(engine: str) -> tuple[str, ...]:
     the eager API, shortint, the coordinator and bench)."""
     if engine == "pallas_mega11":
         return ("bsk_btj2j",)
+    if engine == "pallas_mega12":
+        return ("bsk_btjj",)
     if engine in ("pallas_mega8", "pallas_mega9", "pallas_mega10"):
         return ("bsk_btj2",)
     if engine in ("pallas_mega3", "pallas_mega4", "pallas_mega5",

@@ -61,7 +61,7 @@ def main() -> None:
     jax.block_until_ready((ct0, ct1))
 
     for spec, engine, env in entries:
-        for knob in ("STEPS", "BT", "G", "ABLATE", "DEFER"):
+        for knob in ("STEPS", "BT", "G", "ABLATE", "DEFER", "EXTRACT"):
             os.environ.pop("HERDSMAN_MEGA_" + knob, None)
         for k, v in env.items():
             os.environ["HERDSMAN_MEGA_" + k] = v

@@ -20,7 +20,7 @@ ENGINES = ["gather_u32", "conv_i8", "pallas_bt", "pallas_fused",
            "pallas_mega", "pallas_mega2", "pallas_mega3", "pallas_mega4",
            "pallas_mega5", "pallas_mega6", "pallas_mega7", "pallas_mega8",
            "pallas_mega9", "pallas_mega10",
-           "pallas_mega11"]
+           "pallas_mega11", "pallas_mega12"]
 # scan/jit-wrapped paths skip pallas engines on CPU (interpret-in-scan is
 # pathologically slow to compile); pallas coverage comes from the unrolled
 # blind-rotate/bootstrap tests above + TPU benches
@@ -32,7 +32,7 @@ def toy_device_key(toy_keys):
     _, sk, _ = toy_keys
     return device_server_key(
         sk, layouts=("bsk_ext", "bsk_conv", "bsk_bt", "bsk_btj", "bsk_btj2",
-                     "bsk_btj2j")
+                     "bsk_btj2j", "bsk_btjj")
     )
 
 
@@ -358,12 +358,12 @@ MULTITILE = _dc.replace(TOY, name="toy_multitile", n=8, N=256)
 @pytest.mark.parametrize("engine", ["pallas_mega5", "pallas_mega6",
                                     "pallas_mega7", "pallas_mega8",
                                     "pallas_mega9", "pallas_mega10",
-                                    "pallas_mega11"])
+                                    "pallas_mega11", "pallas_mega12"])
 def test_mega_multitile_bitexact(engine):
     rng = np.random.default_rng(11)
     ck, sk = ref.keygen(MULTITILE, rng)
     dsk = device_server_key(sk, layouts=("bsk_btj", "bsk_btj2",
-                                         "bsk_btj2j"))
+                                         "bsk_btj2j", "bsk_btjj"))
     ct = rand_u32(rng, 3, MULTITILE.n + 1)
     tp = bs.make_test_poly(MULTITILE)
     got = np.asarray(bs.blind_rotate_batch(
@@ -386,14 +386,15 @@ MULTITILE_K4 = _dc.replace(TOY, name="toy_k4", n=8, N=256, k=4)
 @pytest.mark.parametrize("engine", ["gather_u32", "conv_i8", "pallas_fused",
                                     "pallas_mega5", "pallas_mega7",
                                     "pallas_mega8", "pallas_mega9",
-                                    "pallas_mega10", "pallas_mega11"])
+                                    "pallas_mega10", "pallas_mega11",
+                                    "pallas_mega12"])
 def test_k2_blind_rotate_bitexact(engine, kparams):
     MULTITILE_K2 = kparams
     rng = np.random.default_rng(21)
     ck, sk = ref.keygen(MULTITILE_K2, rng)
     dsk = device_server_key(
         sk, layouts=("bsk_ext", "bsk_conv", "bsk_bt", "bsk_btj", "bsk_btj2",
-                     "bsk_btj2j"))
+                     "bsk_btj2j", "bsk_btjj"))
     ct = rand_u32(rng, 3, MULTITILE_K2.n + 1)
     tp = bs.make_test_poly(MULTITILE_K2)
     got = np.asarray(bs.blind_rotate_batch(
