@@ -74,3 +74,49 @@ def pack_lwes_batch(params: TFHEParams, pkc: jax.Array,
     base = jnp.zeros((Gr, p.k + 1, p.N), dtype=U32)
     base = base.at[:, p.k, :M].set(cts[:, :, p.n])
     return base - contrib
+
+
+def extract_all_batch(params: TFHEParams, glwes: jax.Array) -> jax.Array:
+    """Sample-extract EVERY coefficient of packed GLWEs on device:
+    [Gr, k+1, N] u32 -> [Gr, N, kN+1] u32 (row i = the kN-LWE of
+    coefficient i, reference `core.reference.sample_extract`).
+
+    Row i's mask is a_out[j*N + m] = ext_j[(i - m) mod 2N] with
+    ext_j = concat(a_j, -a_j) (the negacyclic sign folded into the
+    doubled poly) — built as N static slices of the doubled-doubled
+    polynomial, the same zero-gather trick as the block-Toeplitz key
+    layout (`server_key._block_toeplitz_layout_device`)."""
+    p = params
+    glwes = jnp.asarray(glwes, dtype=U32)
+    Gr = glwes.shape[0]
+    a_polys = glwes[:, : p.k, :]                       # [Gr, k, N]
+    ed = jnp.concatenate([a_polys, jnp.zeros_like(a_polys) - a_polys],
+                         axis=-1)                      # ext_j [Gr, k, 2N]
+    ed2 = jnp.concatenate([ed, ed], axis=-1)           # [Gr, k, 4N]
+    # rows[m][..., i] = ext[(i - m) mod 2N], i in [0, N)
+    rows = jnp.stack(
+        [jax.lax.slice_in_dim(ed2, 2 * p.N - m, 3 * p.N - m, axis=-1)
+         for m in range(p.N)],
+        axis=2,
+    )                                                  # [Gr, k, N(m), N(i)]
+    a_out = jnp.swapaxes(rows, 2, 3)                   # [Gr, k, N(i), N(m)]
+    a_out = jnp.moveaxis(a_out, 1, 2).reshape(Gr, p.N, p.kN)
+    b_out = glwes[:, p.k, :, None]                     # [Gr, N, 1]
+    return jnp.concatenate([a_out, b_out], axis=-1)
+
+
+def unpack_lwes_batch(dsk, glwes: jax.Array, count: int) -> jax.Array:
+    """Invert `pack_lwes_batch` on the SERVER side: extract the first
+    `count` coefficients of each packed GLWE and key-switch them back to
+    the n-LWE key with the bootstrap KSK ([Gr, k+1, N] -> [Gr*count, n+1],
+    group-major).  This is what makes GLWE-domain intermediate frames
+    computable again: stored frames stay packed ((k+1)N vs (n+1)*bits u32)
+    and are expanded on load at one MXU matmul per batch.  Noise: original
+    + packing keyswitch + this keyswitch — refreshed by the next gate
+    bootstrap."""
+    from herdsman_tpu.ops import bootstrap as bs
+
+    p = dsk.params
+    ext = extract_all_batch(p, glwes)                  # [Gr, N, kN+1]
+    ext = ext[:, :count, :].reshape(-1, p.kN + 1)
+    return bs.key_switch_batch(dsk, ext)

@@ -83,6 +83,9 @@ class MeshWorkersConfig:
     param_set: str = "std128"
     concurrent_jobs: int = 1              # executor slots (the reference's
     # concurrent_workers() = fleet size, executor.cpp:96-113)
+    # GLWE-domain intermediate frames: mapper/reduce outputs stored as
+    # packed GLWEs when the session holds a TFHE_PACKING key
+    glwe_frames: bool = False
 
 
 @dataclasses.dataclass
@@ -164,6 +167,7 @@ def load_config(path: str) -> Config:
         max_batch=int(mesh.get("max_batch", 512)),
         param_set=str(mesh.get("param_set", "std128")),
         concurrent_jobs=int(mesh.get("concurrent_jobs", 1)),
+        glwe_frames=bool(mesh.get("glwe_frames", False)),
     )
     if cfg.grpc_workers and cfg.lambda_workers:
         raise ConfigError("workers.grpc and workers.lambda are exclusive")

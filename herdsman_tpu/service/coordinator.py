@@ -328,6 +328,11 @@ class Coordinator:
         UNIMPLEMENTED, src/controller/storage_controller.cpp:264-273)."""
         self._check_session(token, session_uuid)
         entry = self.storage.get_data_frame(session_uuid, frame_uuid)
+        if entry.glwe_packed:
+            raise MappingError(
+                f"frame {frame_uuid} is stored in the GLWE-packed domain "
+                "(glwe_frames); download it with download_data_frame_packed "
+                "and decrypt with the GLWE secret key")
         for part in range(entry.partitions):
             path = self.storage.partition_path(session_uuid, frame_uuid, part)
             yield path.read_bytes() if path.exists() else b""
@@ -357,6 +362,21 @@ class Coordinator:
                 f"{entry.schema_type.name} key params ({frame_params.name}); "
                 "re-upload a TFHE_PACKING key generated for the same "
                 "parameter set")
+        if entry.glwe_packed:
+            # the frame already lives in the GLWE domain (glwe_frames):
+            # stream the stored GLWEs as-is — zero device work
+            from herdsman_tpu.compiler.stages import partition_sizes
+            total_bits = sum(c.dtype.bit_width for c in entry.columns)
+            sizes = partition_sizes(entry.row_count, entry.partitions)
+            for part in range(entry.partitions):
+                path = self.storage.partition_path(session_uuid, frame_uuid,
+                                                   part)
+                blobs = rowcodec.parse_rows(
+                    path.read_bytes() if path.exists() else b"")
+                head = struct.pack("<II", sizes[part] * total_bits,
+                                   len(blobs))
+                yield head + b"".join(blobs)
+            return
         pkc = pack_mod.packing_key_conv(pk)  # device conv layout
         for part in range(entry.partitions):
             path = self.storage.partition_path(session_uuid, frame_uuid,
@@ -431,8 +451,23 @@ class Coordinator:
                     lw.address, lw.concurrency_limit, self.storage)
             return OffloadJobRunner(self.storage, self._offload_group)(job)
         dsk = self._device_key(job.session_uuid)
+        pk = None
+        if (self.config.mesh_workers is not None
+                and self.config.mesh_workers.glwe_frames):
+            # GLWE-domain intermediate frames need the session's packing
+            # key; silently stay in the row format without one
+            try:
+                pk = deserialize_packing_key(self.keys.read_key(
+                    job.session_uuid, SchemaType.TFHE_PACKING))
+                if pk.params.name != dsk.params.name:
+                    log.warning("glwe_frames: packing key params mismatch "
+                                "(%s vs %s); using row frames",
+                                pk.params.name, dsk.params.name)
+                    pk = None
+            except ObjectNotFoundException:
+                pk = None
         runner = StorageJobRunner(self.storage, dsk, engine=self._engine,
-                                  mesh=self._mesh())
+                                  mesh=self._mesh(), packing_key=pk)
         return runner(job)
 
     def schedule_job(self, token: str, session_uuid: str,

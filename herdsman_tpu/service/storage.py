@@ -45,6 +45,10 @@ class DataFrameEntry:
     partitions: int
     uploaded: bool = False
     busy: int = 0  # refcount (reference uses a never-cleared bool)
+    # GLWE-domain storage: partitions hold packed GLWE blobs ((k+1)*N u32
+    # each, up to N LWE bits packed per blob) instead of per-row LWE
+    # payloads; unpacked on load via ops.pack.unpack_lwes_batch
+    glwe_packed: bool = False
 
 
 @dataclasses.dataclass
@@ -90,6 +94,7 @@ class StorageService:
                     "row_count": e.row_count,
                     "partitions": e.partitions,
                     "uploaded": e.uploaded,
+                    "glwe_packed": e.glwe_packed,
                 }
                 for e in entries
             ]
@@ -120,6 +125,7 @@ class StorageService:
                     row_count=e["row_count"],
                     partitions=e["partitions"],
                     uploaded=e["uploaded"],
+                    glwe_packed=e.get("glwe_packed", False),
                 )
                 for e in entries
             ]
@@ -239,6 +245,16 @@ class StorageService:
                     f"upload overrun: {state.rows_total} > {entry.row_count}"
                 )
             return rows_read
+
+    def set_glwe_packed(self, session_uuid: str, frame_uuid: str) -> None:
+        """Mark a frame's partitions as GLWE-packed (written out-of-band
+        by the runner; bypasses streamed-upload row accounting)."""
+        with self._lock:
+            entry = self._find(session_uuid, frame_uuid)
+            entry.glwe_packed = True
+            entry.uploaded = True
+            self._uploads.pop(frame_uuid, None)
+            self._save_catalog()
 
     def mark_data_frame_as_uploaded(self, session_uuid: str,
                                     frame_uuid: str) -> None:

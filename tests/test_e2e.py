@@ -369,3 +369,107 @@ def test_fit_engine_hbm_guard():
     assert fit_engine("pallas_mega8", k2) == "pallas_mega8"
     # non-windowed engines pass through untouched
     assert fit_engine("conv_i8", shortint) == "conv_i8"
+
+
+def test_glwe_intermediate_frames(tmp_path):
+    """GLWE-domain intermediate frames (workers.mesh.glwe_frames): mapper/
+    reduce outputs are stored as packed GLWEs (catalog-flagged, smaller on
+    disk), output frames stay in the row format, and a SECOND job that
+    consumes a packed intermediate frame as its input expands it through
+    the device unpack path and still decrypts exactly."""
+    from herdsman_tpu.core import reference as ref_mod
+    from herdsman_tpu.service.config import MeshWorkersConfig
+    from herdsman_tpu.service.coordinator import serialize_packing_key
+
+    cfg = Config(
+        server=ServerConfig(key_directory=str(tmp_path / "keys"),
+                            storage_directory=str(tmp_path / "storage")),
+        security=SecurityConfig(secret_key="glwe-secret"),
+        mesh_workers=MeshWorkersConfig(glwe_frames=True, engine="conv_i8"),
+    )
+    coord = Coordinator(cfg, engine="conv_i8")
+    try:
+        rng = np.random.default_rng(2024)
+        ck, sk = ref_mod.keygen(TOY, rng)
+        pk = ref_mod.make_packing_key(ck, rng)
+        token = coord.authorize_connection("admin==true")
+        session = coord.create_session(token, "glwe")
+        kb = serialize_server_key(sk)
+        coord.add_key(token, session.uuid, SchemaType.TFHE_BOOL, len(kb),
+                      [kb])
+        pkb = serialize_packing_key(pk)
+        coord.add_key(token, session.uuid, SchemaType.TFHE_PACKING,
+                      len(pkb), [pkb])
+
+        table = [(3, 5), (200, 100), (17, 4)]
+        rows_ct = client_lib.encrypt_rows(ck, IN_COLS, table, rng)
+        frame_uuid = upload_rows(coord, token, session.uuid, "in", IN_COLS,
+                                 rows_ct, partitions=2)
+        job = coord.schedule_job(
+            token, session.uuid, build_plan(frame_uuid, Policy.PARALLEL))
+        done = coord.wait_for_job(token, session.uuid, job.job_uuid,
+                                  timeout=900)
+        assert done.status == JobStatus.COMPLETED, done.message
+
+        frames = {f.name: f for f in coord.list_data_frames(token,
+                                                            session.uuid)}
+        inter = [f for n, f in frames.items()
+                 if n.startswith(("intermediate-", "reduce-"))]
+        assert inter and all(f.glwe_packed for f in inter)
+        out_frames = [f for n, f in frames.items() if n == "result"]
+        assert out_frames and not out_frames[0].glwe_packed
+
+        # packed intermediate really is smaller than its row form:
+        # (k+1)*N u32 per <=N bits vs bits*(n+1) u32
+        mid = next(f for n, f in frames.items()
+                   if n.startswith("intermediate-"))
+        size = sum(
+            coord.storage.partition_path(session.uuid, mid.uuid, p)
+            .stat().st_size for p in range(mid.partitions))
+        total_bits = sum(c.dtype.bit_width for c in mid.columns)
+        row_form = mid.row_count * total_bits * (TOY.n + 1) * 4
+        assert size < row_form, (size, row_form)
+
+        # a glwe-packed frame refuses the row download with a clear error
+        import pytest as _pytest
+        from herdsman_tpu.circuit.model import MappingError
+        with _pytest.raises(MappingError):
+            list(coord.download_data_frame(token, session.uuid, mid.uuid))
+        # ...but the packed download streams the stored GLWEs as-is and
+        # the client decrypts them with the GLWE secret key
+        parts = list(coord.download_data_frame_packed(
+            token, session.uuid, mid.uuid))
+        dec = client_lib.decrypt_rows_packed(ck, MAP_OUT_COLS, parts)
+        assert [d["x"] for d in dec] == [a ^ b for a, b in table]
+
+        # second job consumes the PACKED intermediate frame as its input
+        g = DAG()
+        inp = g.emplace(InputStage(mid.uuid))
+        mp = g.emplace(MapperStage(map_circuit2_for_mid()))
+        out = g.emplace(OutputStage("second"))
+        g.add_edge(inp, mp)
+        g.add_edge(mp, out)
+        plan2 = ExecutionPlan(SchemaType.TFHE_BOOL, g)
+        job2 = coord.schedule_job(token, session.uuid, plan2)
+        done2 = coord.wait_for_job(token, session.uuid, job2.job_uuid,
+                                   timeout=900)
+        assert done2.status == JobStatus.COMPLETED, done2.message
+        [(_, of)] = done2.output_frames.items()
+        payloads = []
+        for chunk in coord.download_data_frame(token, session.uuid, of):
+            payloads.extend(rowcodec.parse_rows(chunk))
+        rows = frame_codec.payloads_to_rows(payloads, 8, TOY)
+        got = [r["y"] for r in client_lib.decrypt_rows(
+            ck, (ColumnMeta("y", DataType.UINT8),), rows)]
+        expect = [((a ^ b) ^ 0xFF) & 0xFF for a, b in table]
+        assert got == expect, (got, expect)
+    finally:
+        coord.shutdown()
+
+
+def map_circuit2_for_mid():
+    """NOT over the mid frame's x column (schema: x uint8, odd bit)."""
+    from herdsman_tpu.circuit import CircuitBuilder
+    cb = CircuitBuilder(MAP_OUT_COLS)
+    cb.output("y", ~cb.input_column("x"))
+    return cb.build()

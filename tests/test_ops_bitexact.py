@@ -438,3 +438,37 @@ def test_pack_lwes_device_bitexact(toy_keys):
         for g in range(2):
             expect = ref.pack_lwes(pk, cts[g])
             np.testing.assert_array_equal(got[g], expect, err_msg=f"M={M}")
+
+
+def test_unpack_lwes_device_bitexact(toy_keys, toy_device_key):
+    """Device GLWE unpack (extract-all + keyswitch, ops/pack.py) equals the
+    reference sample_extract + key_switch per coefficient with array
+    equality, and the pack -> unpack round trip decrypts to the original
+    bits (GLWE-domain intermediate frames)."""
+    from herdsman_tpu.ops import pack as pack_mod
+
+    ck, sk, rng = toy_keys
+    pk = ref.make_packing_key(ck, rng)
+    bits = rng.integers(0, 2, 2 * TOY.N).astype(bool)
+    cts = ref.encrypt_bool(ck, bits, rng).reshape(2, TOY.N, TOY.n + 1)
+    glwes = np.stack([ref.pack_lwes(pk, cts[g]) for g in range(2)])
+
+    # extraction alone, every coefficient
+    ext = np.asarray(pack_mod.extract_all_batch(TOY, jnp.asarray(glwes)))
+    for g in range(2):
+        for i in (0, 1, 13, TOY.N - 1):
+            np.testing.assert_array_equal(
+                ext[g, i], ref.sample_extract(TOY, glwes[g], i),
+                err_msg=f"g={g} i={i}")
+
+    # full unpack (+ keyswitch) vs the scalar reference
+    out = np.asarray(pack_mod.unpack_lwes_batch(
+        toy_device_key, jnp.asarray(glwes), TOY.N))
+    for g in range(2):
+        for i in (0, 5, TOY.N - 1):
+            expect = ref.key_switch(sk, ref.sample_extract(TOY, glwes[g], i))
+            np.testing.assert_array_equal(out[g * TOY.N + i], expect)
+
+    # round trip decrypts to the original bits
+    got_bits = ref.lwe_decrypt_bool(ck, out)
+    np.testing.assert_array_equal(got_bits, bits)
