@@ -1699,7 +1699,9 @@ def mega11_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024,
         )
     ablate = os.environ.get("HERDSMAN_MEGA_ABLATE", "")
-    extract = os.environ.get("HERDSMAN_MEGA_EXTRACT", "base")
+    # sx (sign-extend) extraction is exact and measured faster (114.9 vs
+    # 117.0 ms/batch same-session, docs/BENCH_LOG.md round 2)
+    extract = os.environ.get("HERDSMAN_MEGA_EXTRACT", "sx")
     return pl.pallas_call(
         functools.partial(_mega11_kernel, p=p, P=P, HALF=HALF, R=R, G=G,
                           ablate=ablate, extract=extract),
@@ -1862,7 +1864,7 @@ def mega12_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
         G -= 1
     BO = BC // G
 
-    extract = os.environ.get("HERDSMAN_MEGA_EXTRACT", "base")
+    extract = os.environ.get("HERDSMAN_MEGA_EXTRACT", "sx")
     kwargs = {}
     if jax.default_backend() == "tpu":
         kwargs["compiler_params"] = pltpu.CompilerParams(
