@@ -37,6 +37,28 @@ U32 = jnp.uint32
 I32 = jnp.int32
 I8 = jnp.int8
 
+_ablate_warned: set[str] = set()
+
+
+def _ablate_knob() -> str:
+    """HERDSMAN_MEGA_ABLATE, gated LOUDLY: the ablation modes (rot1,
+    nodigits, nocombine, nodot) are PROBE-ONLY — they deliberately produce
+    INVALID ciphertexts so scripts/mega_variants.py can time kernel
+    sections.  A stray value left in the environment of a production run
+    would silently corrupt every bootstrap (round-2 advisor finding), so
+    any non-empty value logs a warning once per distinct value."""
+    import logging
+    import os
+
+    ablate = os.environ.get("HERDSMAN_MEGA_ABLATE", "")
+    if ablate and ablate not in _ablate_warned:
+        _ablate_warned.add(ablate)
+        logging.getLogger("herdsman.mega").warning(
+            "HERDSMAN_MEGA_ABLATE=%s is active: blind-rotation outputs are "
+            "INVALID ciphertexts (probe-only ablation mode) — results are "
+            "non-production", ablate)
+    return ablate
+
 
 def _neg_shift(v, s, N):
     return jnp.concatenate(
@@ -857,7 +879,7 @@ def mega6_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
         G -= 1
     BO = BC // G
 
-    ablate = os.environ.get("HERDSMAN_MEGA_ABLATE", "")
+    ablate = _ablate_knob()
     kwargs = {}
     if jax.default_backend() == "tpu":
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -1220,7 +1242,7 @@ def mega8_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
         G -= 1
     BO = BC // G
 
-    ablate = os.environ.get("HERDSMAN_MEGA_ABLATE", "")
+    ablate = _ablate_knob()
     defer = os.environ.get("HERDSMAN_MEGA_DEFER", "") == "1"
     kwargs = {}
     if jax.default_backend() == "tpu":
@@ -1698,7 +1720,7 @@ def mega11_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         )
-    ablate = os.environ.get("HERDSMAN_MEGA_ABLATE", "")
+    ablate = _ablate_knob()
     # sx (sign-extend) extraction is exact and measured faster (114.9 vs
     # 117.0 ms/batch same-session, docs/BENCH_LOG.md round 2)
     extract = os.environ.get("HERDSMAN_MEGA_EXTRACT", "sx")

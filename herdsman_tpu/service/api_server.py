@@ -61,40 +61,97 @@ def _token(context) -> str:
     raise InvalidTokenException("missing bearer token")
 
 
+class _Pin:
+    """Connection-identity pin: user id + live-RPC refcount + idle clock."""
+
+    __slots__ = ("user_id", "inflight", "idle_since")
+
+    def __init__(self, user_id: int):
+        self.user_id = user_id
+        self.inflight = 0
+        self.idle_since = 0.0  # monotonic ts when inflight last hit 0
+
+
 class _Guard:
     """Wraps handlers: extract + validate token, pin the connection's
     identity, translate exceptions to status codes."""
+
+    # idle pins older than this may be reclaimed; also guards against
+    # ip:port reuse after the TCP connection closed (context.peer() is
+    # unique only among LIVE connections)
+    PIN_IDLE_TTL_S = 900.0
 
     def __init__(self, coord: Coordinator):
         self.coord = coord
         # Per-connection identity pinning (reference
         # token_auth_metadata_processor.cpp:65-74: once a connection has
         # authenticated as a user, a token for a DIFFERENT user on the
-        # same connection is rejected).  Keyed by context.peer() — unique
-        # per live TCP connection; bounded LRU since gRPC Python exposes
-        # no connection-close hook.
-        from collections import OrderedDict
+        # same connection is rejected).  Keyed by context.peer().  gRPC
+        # Python exposes no connection-close hook, so pin lifetime is
+        # approximated: each pin refcounts its in-flight RPCs
+        # (context.add_callback fires at rpc termination); eviction under
+        # pressure only ever reclaims pins with ZERO in-flight RPCs,
+        # oldest-idle first — a connection actively issuing RPCs can never
+        # lose its pin — and idle pins expire after PIN_IDLE_TTL_S so a
+        # reused ip:port cannot inherit (or be rejected by) a dead
+        # connection's identity.
         import threading
 
-        self._pins: "OrderedDict[str, int]" = OrderedDict()
+        self._pins: dict[str, _Pin] = {}
         self._pin_lock = threading.Lock()
         self._max_pins = 4096
+
+    def _release_pin(self, peer: str) -> None:
+        import time
+
+        with self._pin_lock:
+            pin = self._pins.get(peer)
+            if pin is not None:
+                pin.inflight -= 1
+                if pin.inflight <= 0:
+                    pin.inflight = 0
+                    pin.idle_since = time.monotonic()
+
+    def _reclaim_locked(self, now: float) -> None:
+        """Drop TTL-expired idle pins; under pressure also evict the
+        oldest idle pin.  Pins with in-flight RPCs are never touched."""
+        expired = [p for p, pin in self._pins.items()
+                   if pin.inflight == 0
+                   and now - pin.idle_since > self.PIN_IDLE_TTL_S]
+        for p in expired:
+            del self._pins[p]
+        if len(self._pins) >= self._max_pins:
+            idle = [(pin.idle_since, p) for p, pin in self._pins.items()
+                    if pin.inflight == 0]
+            if idle:
+                del self._pins[min(idle)[1]]
+            # else: every pin has live RPCs — grow past the soft cap
+            # rather than void the one-user-per-connection guarantee
 
     def token(self, context) -> str:
         """Bearer extraction + validation + connection pinning; raises
         InvalidTokenException (-> UNAUTHENTICATED) on any failure."""
+        import time
+
         raw = _token(context)
         user = self.coord.auth.validate_token(raw)
         peer = context.peer()
+        now = time.monotonic()
         with self._pin_lock:
-            pinned = self._pins.get(peer)
-            if pinned is None:
+            pin = self._pins.get(peer)
+            if pin is not None and pin.inflight == 0 \
+                    and now - pin.idle_since > self.PIN_IDLE_TTL_S:
+                del self._pins[peer]
+                pin = None
+            if pin is None:
                 if len(self._pins) >= self._max_pins:
-                    self._pins.popitem(last=False)
-                self._pins[peer] = user.user_id
-            elif pinned != user.user_id:
+                    self._reclaim_locked(now)
+                pin = self._pins[peer] = _Pin(user.user_id)
+            elif pin.user_id != user.user_id:
                 raise InvalidTokenException(
                     "connection already authenticated as a different user")
+            pin.inflight += 1
+        context.add_callback(lambda: self._release_pin(peer))
         return raw
 
     def unary(self, fn):

@@ -128,7 +128,8 @@ class Coordinator:
         self._engine = engine or (
             config.mesh_workers.engine if config.mesh_workers else "conv_i8"
         )
-        self._session_dsk: dict[str, object] = {}  # session -> DeviceServerKey
+        # session -> (resolved engine name, DeviceServerKey)
+        self._session_dsk: dict[str, tuple[str, object]] = {}
         self._offload_group = None  # lazy OffloadWorkerGroup (workers.lambda)
         self.execution.set_runner(self._run_job)
 
@@ -404,6 +405,10 @@ class Coordinator:
     # ---- execution (reference src/controller/execution_controller.cpp) ----
 
     def _device_key(self, session_uuid: str):
+        """(engine, dsk) for the session — the engine is resolved
+        PER SESSION (fit_engine depends on the session key's params), so
+        one session's HBM-driven fallback never downgrades another
+        session whose params would fit (round-2 advisor finding)."""
         if session_uuid not in self._session_dsk:
             from herdsman_tpu.ops.server_key import (device_server_key,
                                                      fit_engine,
@@ -414,11 +419,11 @@ class Coordinator:
             engine = fit_engine(self._engine, sk.params)
             if engine != self._engine:
                 log.warning("engine %s key layout won't fit HBM at %s; "
-                            "using %s", self._engine, sk.params.name, engine)
-                self._engine = engine
-            self._session_dsk[session_uuid] = device_server_key(
+                            "session %s uses %s", self._engine,
+                            sk.params.name, session_uuid, engine)
+            self._session_dsk[session_uuid] = (engine, device_server_key(
                 sk, layouts=layouts_for_engine(engine)
-            )
+            ))
         return self._session_dsk[session_uuid]
 
     def _mesh(self):
@@ -450,7 +455,7 @@ class Coordinator:
                 self._offload_group = OffloadWorkerGroup(
                     lw.address, lw.concurrency_limit, self.storage)
             return OffloadJobRunner(self.storage, self._offload_group)(job)
-        dsk = self._device_key(job.session_uuid)
+        engine, dsk = self._device_key(job.session_uuid)
         pk = None
         if (self.config.mesh_workers is not None
                 and self.config.mesh_workers.glwe_frames):
@@ -466,7 +471,20 @@ class Coordinator:
                     pk = None
             except ObjectNotFoundException:
                 pk = None
-        runner = StorageJobRunner(self.storage, dsk, engine=self._engine,
+            if pk is not None:
+                # refuse glwe frames when the closed-form margin for the
+                # extra pack/unpack keyswitch noise falls below the
+                # production bar (round-2 advisor medium finding: the path
+                # was only ever validated at TOY params)
+                from herdsman_tpu.core import noise as noise_mod
+                margin = noise_mod.glwe_frame_margin_sigma(dsk.params)
+                if margin < 8.0 and dsk.params.security_bits > 0:
+                    log.warning(
+                        "glwe_frames: closed-form gate margin %.1f sigma "
+                        "at %s is below the 8-sigma production bar; using "
+                        "row frames", margin, dsk.params.name)
+                    pk = None
+        runner = StorageJobRunner(self.storage, dsk, engine=engine,
                                   mesh=self._mesh(), packing_key=pk)
         return runner(job)
 

@@ -218,23 +218,24 @@ class FilesystemWatch:
             self._watched.pop(pathlib.Path(path), None)
 
     def _scan_once(self) -> None:
+        # Existence of EVERY watched file is checked each tick (cheap at
+        # this scale) rather than only on a parent-mtime change: a file
+        # rewritten within the same mtime-granularity tick would otherwise
+        # be missed until some later directory change (round-2 advisor
+        # finding).  Parent mtimes are still tracked — under _lock, which
+        # watch_for also takes — purely as a debug signal mirroring the
+        # reference's mechanism (filesystem_watch.cpp:33-71).
         with self._lock:
-            dirs = list({p.parent for p in self._watched})
-        changed: set[pathlib.Path] = set()
-        for d in dirs:
-            try:
-                mtime = os.stat(d).st_mtime
-            except OSError:
-                continue
-            if mtime != self._dir_mtimes.get(d):
-                self._dir_mtimes[d] = mtime
-                changed.add(d)
-        if not changed:
-            return
+            dirs = {p.parent for p in self._watched}
+            for d in dirs:
+                try:
+                    self._dir_mtimes[d] = os.stat(d).st_mtime
+                except OSError:
+                    continue
         fired: list[Callable[[], None]] = []
         with self._lock:
             for p in list(self._watched):
-                if p.parent in changed and p.exists():
+                if p.exists():
                     fired.append(self._watched.pop(p))
         for cb in fired:
             cb()

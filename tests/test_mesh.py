@@ -71,21 +71,26 @@ def test_sharded_gate_step(toy_keys, sharded_setup):
     np.testing.assert_array_equal(got, expect)
 
 
-def test_sharded_dp_fast_engine_bit_identical(toy_keys):
-    """Step/rotation engines (the fast single-chip pallas kernels) run
-    per batch shard on a DP-only mesh — bit-identical to single-device.
+@pytest.mark.parametrize(
+    "engine", ["pallas_fused", "pallas_mega11", "pallas_mega12"])
+def test_sharded_dp_fast_engine_bit_identical(toy_keys, engine):
+    """Step/rotation engines — including the FLAGSHIP bench kernels
+    (pallas_mega11, the headline; pallas_mega12, the N=2048 tier) — run
+    per batch shard on a DP-only mesh, bit-identical to single-device.
     (unroll=True: interpret-mode pallas inside lax.scan hangs compiles.)"""
+    from herdsman_tpu.ops.server_key import layouts_for_engine
+
     ck, sk, rng = toy_keys
     mesh = make_mesh(batch=8, limb=1)
-    dsk = device_server_key(sk, layouts=("bsk_bt",))
+    dsk = device_server_key(sk, layouts=layouts_for_engine(engine))
     dsk_sharded = shard_server_key(dsk, mesh)
     B = 8
     bits = rng.integers(0, 2, B).astype(bool)
     ct = jnp.asarray(ref.encrypt_bool(ck, bits, rng))
     single = np.asarray(
-        bs.bootstrap_bool_batch(dsk, ct, engine="pallas_fused", unroll=True))
+        bs.bootstrap_bool_batch(dsk, ct, engine=engine, unroll=True))
     sharded = np.asarray(bootstrap_bool_sharded(
-        dsk_sharded, mesh, ct, engine="pallas_fused", unroll=True))
+        dsk_sharded, mesh, ct, engine=engine, unroll=True))
     np.testing.assert_array_equal(sharded, single)
 
 
