@@ -1919,6 +1919,174 @@ def mega12_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
     )(a_t.reshape(p.n, 1, B), acc0, bsk_btjj)
 
 
+def _mega13_kernel(a_ref, acc0_ref, btT_ref, out_ref, acc_sc, *,
+                   p: TFHEParams, P: int, HALF: int, PT: int, G: int,
+                   ablate: str = ""):
+    """mega-v13: TRANSPOSED accumulator + bitcast digit stream.
+
+    The accumulator lives as [k+1, N(sublanes), Bt(lanes)] — the layout
+    that makes ``pltpu.bitcast(u32 -> i8)``'s sublane expansion land the
+    gadget digit bytes directly on the dot's contraction axis.  The whole
+    decompose/pack stream of mega7..12 (per-level shift extraction + the
+    HALF*R tile re-concat, the ~25-33 ms residue of BENCH_LOG round 2)
+    collapses to: one rounding shift, one mask/shift/or packing the
+    coefficient pair (r, r + N/2) into each u32, one xor (the sx
+    sign-extend trick), one bitcast.  The key's contraction axis is
+    reordered to match at prep time (``bsk_btT``) — free.
+
+    Requires bg_bits == 8, levels == 2 (byte-aligned digits), N >= 2P.
+    Bit-exactness vs core.reference is enforced in
+    tests/test_ops_bitexact.py like every other engine."""
+    i = pl.program_id(1)
+    Bt = acc_sc.shape[3]
+    kp1 = p.k + 1
+    W = p.bg_bits * p.levels  # = 16
+    KP = kp1 * P              # rows per limb plane of the dot result
+    WIN = PT * 4 * P          # contraction window length per c_in
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(G):
+            acc_sc[g] = acc0_ref[:, :, g * Bt:(g + 1) * Bt]
+
+    def compute_digits(g):
+        if ablate == "nodigits":
+            return jnp.ones((kp1, 4 * (p.N // 2), Bt), dtype=I8)
+        r_amt = a_ref[0, 0, g * Bt:(g + 1) * Bt].astype(U32)
+        v = acc_sc[g]                                # [k+1, N, Bt]
+        rolled = v
+        nbits = 1 if ablate == "rot1" else p.log2_2N
+        for bit in range(nbits):
+            s = 1 << bit
+            if s < p.N:
+                top = rolled[:, p.N - s:, :]
+                shifted = jnp.concatenate(
+                    [jnp.zeros_like(top) - top, rolled[:, : p.N - s, :]],
+                    axis=1,
+                )
+            else:
+                shifted = jnp.zeros_like(rolled) - rolled
+            take_bit = (r_amt >> U32(bit)) & U32(1)
+            mask = (U32(0) - take_bit)[None, None, :]    # [1, 1, Bt]
+            rolled = jnp.where(
+                jnp.broadcast_to(mask, rolled.shape) != U32(0),
+                shifted, rolled)
+        diff = rolled - v
+        # balanced offset (0x8080 at bg=8, l=2) then the per-byte ^0x80 of
+        # the sx sign-extend trick — each byte becomes the two's-complement
+        # signed digit, ready for the MXU as-is after the bitcast
+        half = 1 << (p.bg_bits - 1)
+        offset = sum(half << (p.bg_bits * t) for t in range(p.levels))
+        val = ((diff + U32(1 << (32 - W - 1))) >> U32(32 - W)) + U32(offset)
+        lo = val[:, : p.N // 2, :] & U32(0xFFFF)
+        hi = val[:, p.N // 2:, :] << U32(16)
+        packed = (lo | hi) ^ U32(0x80808080)         # [k+1, N/2, Bt]
+        return pltpu.bitcast(packed, jnp.int8)       # [k+1, 2N, Bt]
+
+    def do_dot(D, ct):
+        o = (HALF - 1 - ct) * 4 * P
+        total = None
+        for c in range(kp1):
+            part = jnp.dot(btT_ref[0, c, :, o:o + WIN], D[c],
+                           preferred_element_type=I32)
+            total = part if total is None else total + part
+        return total                                  # [C4P, Bt] i32
+
+    def combine_into(g, ct, total):
+        a = total.astype(U32)                         # rows (j, c, q)
+        comb = (
+            a[0:KP]
+            + (a[KP:2 * KP] << U32(8))
+            + (a[2 * KP:3 * KP] << U32(16))
+            + (a[3 * KP:4 * KP] << U32(24))
+        )                                             # [KP, Bt], rows (c, q)
+        for c in range(kp1):
+            acc_sc[g, c, ct * P:(ct + 1) * P, :] = (
+                acc_sc[g, c, ct * P:(ct + 1) * P, :]
+                + comb[c * P:(c + 1) * P]
+            )
+
+    def do_dots(g, D):
+        prev = None
+        for ct in range(HALF):
+            total = do_dot(D, ct)
+            if prev is not None:
+                combine_into(g, prev[0], prev[1])
+            prev = (ct, total)
+        combine_into(g, prev[0], prev[1])
+
+    D = compute_digits(0)
+    for g in range(G):
+        D_next = compute_digits(g + 1) if g + 1 < G else None
+        do_dots(g, D)
+        D = D_next
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        for g in range(G):
+            out_ref[:, :, g * Bt:(g + 1) * Bt] = acc_sc[g]
+
+
+def mega13_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
+                        bsk_btT: jax.Array) -> jax.Array:
+    """Same contract as mega11/12, consuming the transposed ``bsk_btT``
+    key layout; the [B, k+1, N] <-> [k+1, N, B] transposes happen ONCE per
+    batch outside the kernel (XLA transpose, negligible vs the n-step
+    rotation)."""
+    import os
+    p = params
+    P, HALF = bt_tile(p)
+    assert p.bg_bits == 8 and p.levels == 2, \
+        "mega13 needs byte-aligned digits (bg_bits=8, levels=2)"
+    assert p.N >= 2 * P, "mega13 needs N >= 2P (pair packing)"
+    PT = p.N // (2 * P)
+    B = acc0.shape[0]
+    bt_env = int(os.environ.get("HERDSMAN_MEGA_BT", "128"))
+    Bt = B if B <= bt_env else (bt_env if B % bt_env == 0 else 128)
+    assert B % Bt == 0, "pad batch to a multiple of 128 first"
+    BC = B // Bt
+    C4P = (p.k + 1) * 4 * P
+    KEXT = bsk_btT.shape[-1]
+    acc_bytes = (p.k + 1) * Bt * p.N * 4
+    g_env = os.environ.get("HERDSMAN_MEGA_G")
+    G = int(g_env) if g_env else max(1, min(BC, (8 << 20) // acc_bytes))
+    while BC % G:
+        G -= 1
+    BO = BC // G
+
+    kwargs = {}
+    if jax.default_backend() == "tpu":
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    ablate = _ablate_knob()
+    acc0_T = jnp.transpose(acc0, (1, 2, 0))          # [k+1, N, B]
+    out_T = pl.pallas_call(
+        functools.partial(_mega13_kernel, p=p, P=P, HALF=HALF, PT=PT, G=G,
+                          ablate=ablate),
+        grid=(BO, p.n),
+        in_specs=[
+            pl.BlockSpec((1, 1, G * Bt), lambda bo, i: (i, 0, bo),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p.k + 1, p.N, G * Bt), lambda bo, i: (0, 0, bo),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p.k + 1, C4P, KEXT),
+                         lambda bo, i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((p.k + 1, p.N, G * Bt),
+                               lambda bo, i: (0, 0, bo),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p.k + 1, p.N, B), U32),
+        scratch_shapes=[
+            pltpu.VMEM((G, p.k + 1, p.N, Bt), U32),   # group acc
+        ],
+        interpret=jax.default_backend() != "tpu",
+        **kwargs,
+    )(a_t.reshape(p.n, 1, B), acc0_T, bsk_btT)
+    return jnp.transpose(out_T, (2, 0, 1))
+
+
 def _register() -> None:
     bs.ROTATION_ENGINES = getattr(bs, "ROTATION_ENGINES", {})
     bs.ROTATION_ENGINES.setdefault("pallas_mega",
@@ -1945,6 +2113,8 @@ def _register() -> None:
                                    (mega11_blind_rotate, "bsk_btj2j"))
     bs.ROTATION_ENGINES.setdefault("pallas_mega12",
                                    (mega12_blind_rotate, "bsk_btjj"))
+    bs.ROTATION_ENGINES.setdefault("pallas_mega13",
+                                   (mega13_blind_rotate, "bsk_btT"))
 
 
 _register()

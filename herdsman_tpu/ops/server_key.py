@@ -73,6 +73,7 @@ class DeviceServerKey:
     bsk_btj2: Any = None  # i8 [n, 2*HALF, R, P, (k+1)*4*P] windowed (mega8)
     bsk_btj2j: Any = None  # as btj2 with (j, c, q) column order (mega11)
     bsk_btjj: Any = None   # as btj with (j, c, q) column order (mega12)
+    bsk_btT: Any = None    # i8 [n, k+1, C4P, KEXT] transposed (mega13)
 
     @property
     def R(self) -> int:
@@ -133,6 +134,10 @@ def device_server_key(
         bsk_btj2j = _block_toeplitz_layout_device(p, ext, windowed=True,
                                                   col_order="jcq")
 
+    bsk_btT = None
+    if "bsk_btT" in layouts:
+        bsk_btT = _btT_layout_device(p, ext)
+
     ksk = sk.ksk  # [kN, t, n+1] u32
     ksk_limbs = _np_i8_limbs(ksk).reshape(p.kN * p.ks_levels, (p.n + 1) * 4)
 
@@ -147,12 +152,86 @@ def device_server_key(
         bsk_btj2=bsk_btj2,
         bsk_btj2j=bsk_btj2j,
         bsk_btjj=bsk_btjj,
+        bsk_btT=bsk_btT,
     )
+
+
+def _btT_layout_device(p: TFHEParams, ext: np.ndarray) -> jax.Array:
+    """mega13's TRANSPOSED windowed key: [n, k+1(c_in), C4P, KEXT] i8.
+
+    The mega13 kernel keeps the accumulator as [k+1, N, Bt] (coefficients
+    on SUBLANES, batch on LANES) so the gadget digits come straight out of
+    ``pltpu.bitcast(u32 -> i8)`` — which expands along sublanes — with
+    ZERO per-level shift extraction and ZERO tile re-concatenation.  Two
+    coefficients' digit pairs (r, r + N/2) are packed per u32, so the
+    bitcast byte stream at sublane 4r + b decodes as:
+
+        lev(b)  = levels - 1 - (b % 2)     (byte 0 = LSB digit)
+        coeff(b) = r + (b // 2) * N/2
+
+    Rows are (j_limb, c_out, q) — mega11's limb-major recombine order, so
+    limb planes slice contiguously (now on sublanes).  Columns are
+    (pt_ext, w, b) with r = pt*P + w; column tile ct of the output slices
+    the window [ (HALF-1-ct)*4P : ... + (N/(2P))*4P ] per c_in — the
+    sliding-window trick of bsk_btj2 along the new contraction order
+    (extension factor (N/2 + (HALF-1)P) / (N/2), ~2.5x base at K2 vs
+    btj2j's 2x).
+
+        keyT[i, c_in, (j,c_out,q), (pt,w,b)] =
+          limb_j( ext[i, c_in*levels + lev(b), c_out]
+                  [ ((HALF-1-pt)*P + q - w - (b//2)*(N//2)) mod 2N ] )
+
+    Requires bg_bits == 8, levels == 2 (byte-aligned digits) and
+    N >= 2P."""
+    n, R, kp1, twoN = ext.shape
+    P, HALF = bt_tile(p)
+    assert p.bg_bits == 8 and p.levels == 2, \
+        "bsk_btT needs byte-aligned digits (bg_bits=8, levels=2)"
+    assert p.N >= 2 * P, "bsk_btT needs N >= 2P (pair packing)"
+    PT = p.N // (2 * P)
+    PT_EXT = PT + HALF - 1
+    span = twoN + P
+    shifts = jnp.asarray([0, 8, 16, 24], dtype=jnp.uint32)
+
+    def one(e: jax.Array) -> jax.Array:  # e [R, kp1, 2N] u32
+        # slices reach up to index 2*2N + P: triple the poly
+        ed = jnp.concatenate([e, e, e], axis=-1)  # [R, kp1, 6N]
+        rows = jnp.stack(
+            [jax.lax.slice_in_dim(ed, twoN - w, twoN - w + span, axis=-1)
+             for w in range(P)],
+            axis=2,
+        )  # [R, kp1, P(w), span]; [..., w, t] = e[(t - w) mod 2N]
+        cols = []
+        for pt in range(PT_EXT):
+            for b in range(4):
+                lev = p.levels - 1 - (b % 2)
+                toff = (b // 2) * (p.N // 2)
+                o = ((HALF - 1 - pt) * P - toff) % twoN
+                blk = jax.lax.slice_in_dim(rows, o, o + P, axis=-1)
+                # pick GGSW row c_in*levels + lev per c_in
+                sel = jnp.take(
+                    blk,
+                    jnp.asarray([c * p.levels + lev for c in range(kp1)]),
+                    axis=0,
+                )  # [kp1(c_in), kp1(c_out), P(w), P(q)] u32
+                cols.append(sel)
+        colsA = jnp.stack(cols, axis=0).reshape(
+            PT_EXT, 4, kp1, kp1, P, P)
+        u = colsA + jnp.uint32(0x80808080)
+        limbs = ((u[..., None] >> shifts) & jnp.uint32(0xFF)).astype(
+            jnp.int32) - 128
+        # [pt, b, c_in, c_out, w, q, j] -> [c_in, j, c_out, q, pt, w, b]
+        t = jnp.transpose(limbs.astype(jnp.int8), (2, 6, 3, 5, 0, 4, 1))
+        return t.reshape(kp1, 4 * kp1 * P, PT_EXT * P * 4)
+
+    return jax.jit(lambda x: jax.lax.map(one, x))(jnp.asarray(ext))
 
 
 def layouts_for_engine(engine: str) -> tuple[str, ...]:
     """Key layout(s) an engine consumes (single source of truth — used by
     the eager API, shortint, the coordinator and bench)."""
+    if engine == "pallas_mega13":
+        return ("bsk_btT",)
     if engine == "pallas_mega11":
         return ("bsk_btj2j",)
     if engine == "pallas_mega12":
@@ -175,19 +254,32 @@ def fit_engine(engine: str, params: TFHEParams,
 
     mega8/9's windowed ``bsk_btj2`` layout stores all 2*HALF diagonal
     groups — double the single-width key; at N = 2048 shortint params that
-    is ~19 GiB, over v5e HBM.  Falls back to pallas_mega7 (single-width
-    ``bsk_btj``) when the doubled layout would not fit.  Every entry point
-    that builds a DeviceServerKey from an engine name (eager API, shortint,
-    coordinator, bench) must route through this so none of them can OOM the
-    device at key ingest."""
+    is ~19 GiB, over v5e HBM.  Falls back to pallas_mega12 (single-width
+    ``bsk_btjj``, limb-major recombine — measured +6.3% over mega7 at the
+    N = 2048 tier: 1130.7 vs 1064.1 bootstraps/s/chip, round-3 hardware
+    A/B via scripts/ab_shortint_engine.py) when the doubled layout would
+    not fit.  Every entry point that builds a DeviceServerKey from an
+    engine name (eager API, shortint, coordinator, bench) must route
+    through this so none of them can OOM the device at key ingest."""
+    P, HALF = bt_tile(params)
+    if engine == "pallas_mega13":
+        # transposed key: n * (k+1) * C4P * KEXT bytes, and the engine
+        # needs byte-aligned digits + pair packing
+        if params.bg_bits != 8 or params.levels != 2 or params.N < 2 * P:
+            return "pallas_mega12"
+        PT_EXT = params.N // (2 * P) + HALF - 1
+        btT_bytes = (params.n * (params.k + 1) * 4 * (params.k + 1) * P
+                     * PT_EXT * P * 4)
+        if btT_bytes > hbm_budget_bytes:
+            return "pallas_mega12"
+        return engine
     if engine not in ("pallas_mega8", "pallas_mega9", "pallas_mega10",
                       "pallas_mega11"):
         return engine
-    P, HALF = bt_tile(params)
     btj2_bytes = (params.n * 2 * HALF * (params.k + 1) * params.levels
                   * P * (params.k + 1) * 4 * P)
     if btj2_bytes > hbm_budget_bytes:
-        return "pallas_mega7"
+        return "pallas_mega12"
     return engine
 
 

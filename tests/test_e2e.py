@@ -357,14 +357,16 @@ def test_abandoned_upload_cleanup(coordinator, client_session):
 
 
 def test_fit_engine_hbm_guard():
-    """fit_engine falls back to mega7 whenever the doubled bsk_btj2 layout
-    exceeds the HBM budget (ADVICE r1: guard lived only in bench.py)."""
+    """fit_engine falls back to mega12 (single-width key, limb-major
+    recombine — the round-3 hardware A/B winner at the N=2048 tier)
+    whenever the doubled bsk_btj2 layout exceeds the HBM budget
+    (ADVICE r1: guard lived only in bench.py)."""
     from herdsman_tpu.core import PARAM_SETS
     from herdsman_tpu.ops.server_key import fit_engine
 
     shortint = PARAM_SETS["std128_shortint"]  # N=2048: btj2 ~19 GiB
-    assert fit_engine("pallas_mega8", shortint) == "pallas_mega7"
-    assert fit_engine("pallas_mega9", shortint) == "pallas_mega7"
+    assert fit_engine("pallas_mega8", shortint) == "pallas_mega12"
+    assert fit_engine("pallas_mega9", shortint) == "pallas_mega12"
     k2 = PARAM_SETS["std128_k2"]  # flagship: fits
     assert fit_engine("pallas_mega8", k2) == "pallas_mega8"
     # non-windowed engines pass through untouched

@@ -405,6 +405,72 @@ def test_k2_blind_rotate_bitexact(engine, kparams):
         np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
 
 
+# mega13 (transposed accumulator + bitcast digit stream) requires
+# byte-aligned digits: bg_bits = 8, levels = 2 — dedicated param variants.
+# N = 512/k = 2 is EXACTLY the STD128_K2 kernel geometry (PT = 2, HALF = 4:
+# the sliding window crosses pair-tile boundaries).
+B8L2_SETS = [
+    _dc.replace(TOY, name="toy_b8l2_k1", n=8, N=256, k=1,
+                bg_bits=8, levels=2),
+    _dc.replace(TOY, name="toy_b8l2_k2", n=8, N=256, k=2,
+                bg_bits=8, levels=2),
+    _dc.replace(TOY, name="toy_b8l2_k2_n512", n=8, N=512, k=2,
+                bg_bits=8, levels=2),
+]
+
+
+@pytest.mark.parametrize("params", B8L2_SETS,
+                         ids=[q.name for q in B8L2_SETS])
+def test_mega13_blind_rotate_bitexact(params):
+    rng = np.random.default_rng(31)
+    ck, sk = ref.keygen(params, rng)
+    dsk = device_server_key(sk, layouts=("bsk_btT",))
+    ct = rand_u32(rng, 3, params.n + 1)
+    tp = bs.make_test_poly(params)
+    got = np.asarray(bs.blind_rotate_batch(
+        dsk, jnp.asarray(ct), tp, engine="pallas_mega13", unroll=True))
+    for i in range(3):
+        expect = ref.blind_rotate(sk, ct[i], np.asarray(tp))
+        np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
+
+
+@pytest.mark.parametrize("g_env", ["2", "1"])
+def test_mega13_multichunk_bitexact(g_env, monkeypatch):
+    """G > 1 (multi-group VMEM acc) and BO > 1 (multiple chunk groups) —
+    the grouped grid paths of the transposed kernel."""
+    monkeypatch.setenv("HERDSMAN_MEGA_G", g_env)
+    params = B8L2_SETS[0]
+    rng = np.random.default_rng(33)
+    ck, sk = ref.keygen(params, rng)
+    dsk = device_server_key(sk, layouts=("bsk_btT",))
+    B = 256  # Bt=128 -> BC=2: G=2/BO=1 and G=1/BO=2
+    ct = rand_u32(rng, B, params.n + 1)
+    tp = bs.make_test_poly(params)
+    got = np.asarray(bs.blind_rotate_batch(
+        dsk, jnp.asarray(ct), tp, engine="pallas_mega13", unroll=True))
+    for i in range(0, B, 37):
+        expect = ref.blind_rotate(sk, ct[i], np.asarray(tp))
+        np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
+
+
+def test_mega13_full_bootstrap_decrypts():
+    params = B8L2_SETS[2]  # the K2-geometry set
+    rng = np.random.default_rng(34)
+    ck, sk = ref.keygen(params, rng)
+    dsk = device_server_key(sk, layouts=("bsk_btT",))
+    bits = np.array([True, False, True, True])
+    ct = ref.encrypt_bool(ck, bits, rng)
+    acc = bs.blind_rotate_batch(dsk, jnp.asarray(ct),
+                                bs.make_test_poly(params),
+                                engine="pallas_mega13", unroll=True)
+    raw = bs.sample_extract_batch(params, acc)
+    got = np.asarray(bs.key_switch_batch(dsk, raw))
+    for i in range(len(bits)):
+        expect = ref.bootstrap_bool(sk, ct[i])
+        np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
+        assert ref.lwe_decrypt_bool(ck, got[i]) == bits[i]
+
+
 def test_k2_full_bootstrap_decrypts():
     rng = np.random.default_rng(22)
     ck, sk = ref.keygen(MULTITILE_K2, rng)
