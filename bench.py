@@ -346,7 +346,7 @@ def main() -> None:
     ap.add_argument("--params", default="std128_k2")
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--engine", default=os.environ.get("HERDSMAN_BENCH_ENGINE",
-                                                       "pallas_mega11"))
+                                                       "pallas_mega13"))
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--ntt-n", type=int, default=4096)
     args = ap.parse_args()

@@ -57,6 +57,11 @@ def main() -> None:
             os.environ.pop("HERDSMAN_MEGA_" + knob, None)
         for k, v in env.items():
             os.environ["HERDSMAN_MEGA_" + k] = v
+        # the previous leg's fn closure (default arg d=dsk) would otherwise
+        # keep its multi-GiB key layout alive while the next one builds —
+        # that, not contention, is what OOMed back-to-back 9.7 GiB legs
+        fn = None  # noqa: F841
+        gc.collect()
         jax.clear_caches()
         t0 = time.time()
         dsk = device_server_key(sk, layouts=layouts_for_engine(engine))
