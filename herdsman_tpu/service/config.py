@@ -35,6 +35,13 @@ class ServerConfig:
     port: int = 5000                      # reference src/utils/config.cpp:53
     key_directory: str = "./keys"
     storage_directory: str = "./storage"
+    # frame-catalog persistence: "json" (atomic sidecar, default) or
+    # "sqlite" (WAL database — safe under concurrent coordinator
+    # processes).  The reference finds SQLite3 in CMake but never links
+    # it into logic (reference CMakeLists.txt:76,215) — evidently its
+    # planned-but-unbuilt persistence layer; both backends here exceed
+    # the reference's purely in-memory catalog (SURVEY.md §5).
+    catalog_backend: str = "json"
 
 
 @dataclasses.dataclass
@@ -115,6 +122,7 @@ def load_config(path: str) -> Config:
         port=int(server.get("port", 5000)),
         key_directory=_require(server, "key_directory", "server"),
         storage_directory=_require(server, "storage_directory", "server"),
+        catalog_backend=server.get("catalog_backend", "json"),
     )
     security = _require(raw, "security", "")
     ssl_node = security.get("ssl")

@@ -109,7 +109,9 @@ class Coordinator:
             ) / "sessions.json"
         )
         self.keys = KeyService(config.server.key_directory)
-        self.storage = StorageService(config.server.storage_directory)
+        self.storage = StorageService(
+            config.server.storage_directory,
+            catalog_backend=config.server.catalog_backend)
         # in-flight seeded (compressed) uploads: frame_uuid -> expansion
         # state (seed, params, per-row bit count, mask-stream position,
         # partial-row buffer)

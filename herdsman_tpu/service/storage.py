@@ -64,12 +64,18 @@ class StorageService:
     its catalog multimaps purely in-memory and loses them, SURVEY.md §5
     checkpoint/resume: "jobs and catalogs do not [survive]")."""
 
-    def __init__(self, storage_dir: str | pathlib.Path):
+    def __init__(self, storage_dir: str | pathlib.Path,
+                 catalog_backend: str = "json"):
+        assert catalog_backend in ("json", "sqlite"), catalog_backend
         self._dir = pathlib.Path(storage_dir)
         self._dir.mkdir(parents=True, exist_ok=True)
         self._lock = threading.RLock()
         self._frames: dict[str, list[DataFrameEntry]] = {}
         self._uploads: dict[str, _UploadState] = {}
+        self._backend = catalog_backend
+        self._db = None
+        if catalog_backend == "sqlite":
+            self._open_db()
         self._load_catalog()
 
     # ---- durability ----
@@ -78,26 +84,84 @@ class StorageService:
     def _catalog_path(self) -> pathlib.Path:
         return self._dir / "catalog.json"
 
+    @property
+    def _db_path(self) -> pathlib.Path:
+        return self._dir / "catalog.db"
+
+    def _open_db(self) -> None:
+        """WAL-mode SQLite catalog: transactional saves are safe under
+        concurrent coordinator processes (where the json sidecar's
+        write-rename can interleave).  The reference finds SQLite3 but
+        never uses it (reference CMakeLists.txt:76,215 — a
+        planned-but-unbuilt persistence layer); this implements it."""
+        import sqlite3
+
+        self._db = sqlite3.connect(str(self._db_path),
+                                   check_same_thread=False)
+        self._db.execute("PRAGMA journal_mode=WAL")
+        self._db.execute(
+            "CREATE TABLE IF NOT EXISTS frames ("
+            " session TEXT NOT NULL, uuid TEXT NOT NULL,"
+            " name TEXT NOT NULL, schema_type INTEGER NOT NULL,"
+            " columns TEXT NOT NULL, row_count INTEGER NOT NULL,"
+            " partitions INTEGER NOT NULL, uploaded INTEGER NOT NULL,"
+            " glwe_packed INTEGER NOT NULL, ord_idx INTEGER NOT NULL,"
+            " PRIMARY KEY (session, uuid))")
+        self._db.commit()
+
+    def _entry_dict(self, e: DataFrameEntry) -> dict:
+        return {
+            "uuid": e.uuid,
+            "name": e.name,
+            "schema_type": int(e.schema_type),
+            "columns": [
+                {"name": c.name, "dtype": int(c.dtype)} for c in e.columns
+            ],
+            "row_count": e.row_count,
+            "partitions": e.partitions,
+            "uploaded": e.uploaded,
+            "glwe_packed": e.glwe_packed,
+        }
+
+    @staticmethod
+    def _entry_from_dict(e: dict) -> DataFrameEntry:
+        from herdsman_tpu.circuit.model import DataType
+
+        return DataFrameEntry(
+            uuid=e["uuid"],
+            name=e["name"],
+            schema_type=SchemaType(e["schema_type"]),
+            columns=tuple(
+                ColumnMeta(c["name"], DataType(c["dtype"]))
+                for c in e["columns"]
+            ),
+            row_count=e["row_count"],
+            partitions=e["partitions"],
+            uploaded=e["uploaded"],
+            glwe_packed=e.get("glwe_packed", False),
+        )
+
     def _save_catalog(self) -> None:
         import json
 
-        data = {
-            session: [
-                {
-                    "uuid": e.uuid,
-                    "name": e.name,
-                    "schema_type": int(e.schema_type),
-                    "columns": [
-                        {"name": c.name, "dtype": int(c.dtype)}
-                        for c in e.columns
+        if self._backend == "sqlite":
+            with self._db:  # one transaction: readers never see half-state
+                self._db.execute("DELETE FROM frames")
+                self._db.executemany(
+                    "INSERT INTO frames VALUES (?,?,?,?,?,?,?,?,?,?)",
+                    [
+                        (session, e.uuid, e.name, int(e.schema_type),
+                         json.dumps([{"name": c.name, "dtype": int(c.dtype)}
+                                     for c in e.columns]),
+                         e.row_count, e.partitions, int(e.uploaded),
+                         int(e.glwe_packed), i)
+                        for session, entries in self._frames.items()
+                        for i, e in enumerate(entries)
                     ],
-                    "row_count": e.row_count,
-                    "partitions": e.partitions,
-                    "uploaded": e.uploaded,
-                    "glwe_packed": e.glwe_packed,
-                }
-                for e in entries
-            ]
+                )
+            return
+        data = {
+            session: [self._entry_dict(e) for e in entries]
             for session, entries in self._frames.items()
         }
         tmp = self._catalog_path.with_suffix(".tmp")
@@ -107,27 +171,38 @@ class StorageService:
     def _load_catalog(self) -> None:
         import json
 
-        from herdsman_tpu.circuit.model import DataType
-
+        if self._backend == "sqlite":
+            rows = self._db.execute(
+                "SELECT session, uuid, name, schema_type, columns,"
+                " row_count, partitions, uploaded, glwe_packed"
+                " FROM frames ORDER BY session, ord_idx").fetchall()
+            if not rows and self._catalog_path.exists():
+                # one-shot migration from the json sidecar
+                data = json.loads(self._catalog_path.read_text())
+                for session, entries in data.items():
+                    self._frames[session] = [
+                        self._entry_from_dict(e) for e in entries
+                    ]
+                self._save_catalog()
+                return
+            for (session, uuid, name, schema_type, columns, row_count,
+                 partitions, uploaded, glwe_packed) in rows:
+                self._frames.setdefault(session, []).append(
+                    self._entry_from_dict({
+                        "uuid": uuid, "name": name,
+                        "schema_type": schema_type,
+                        "columns": json.loads(columns),
+                        "row_count": row_count, "partitions": partitions,
+                        "uploaded": bool(uploaded),
+                        "glwe_packed": bool(glwe_packed),
+                    }))
+            return
         if not self._catalog_path.exists():
             return
         data = json.loads(self._catalog_path.read_text())
         for session, entries in data.items():
             self._frames[session] = [
-                DataFrameEntry(
-                    uuid=e["uuid"],
-                    name=e["name"],
-                    schema_type=SchemaType(e["schema_type"]),
-                    columns=tuple(
-                        ColumnMeta(c["name"], DataType(c["dtype"]))
-                        for c in e["columns"]
-                    ),
-                    row_count=e["row_count"],
-                    partitions=e["partitions"],
-                    uploaded=e["uploaded"],
-                    glwe_packed=e.get("glwe_packed", False),
-                )
-                for e in entries
+                self._entry_from_dict(e) for e in entries
             ]
 
     # ---- helpers ----

@@ -375,17 +375,32 @@ def test_job_listing(tmp_path):
 # restart durability (checkpoint/resume — absent in the reference, SURVEY §5)
 # ---------------------------------------------------------------------------
 
-def test_storage_catalog_survives_restart(tmp_path):
-    st = StorageService(tmp_path)
+@pytest.mark.parametrize("backend", ["json", "sqlite"])
+def test_storage_catalog_survives_restart(tmp_path, backend):
+    st = StorageService(tmp_path, catalog_backend=backend)
     fu = st.create_data_frame("s", "t", SchemaType.TFHE_BOOL, COLS, 2, 1)
     st.append_to_data_frame("s", fu, rowcodec.frame_rows([b"a" * 4, b"b" * 4]))
     st.mark_data_frame_as_uploaded("s", fu)
     # simulate coordinator restart
-    st2 = StorageService(tmp_path)
+    st2 = StorageService(tmp_path, catalog_backend=backend)
     entry = st2.get_data_frame("s", fu)
     assert entry.uploaded and entry.row_count == 2
     assert entry.columns == COLS
     assert st2.read_partition_rows("s", fu, 0) == [b"a" * 4, b"b" * 4]
+
+
+def test_storage_catalog_json_to_sqlite_migration(tmp_path):
+    """Switching server.catalog_backend from json to sqlite imports the
+    existing catalog.json once (the sqlite db takes over from there)."""
+    st = StorageService(tmp_path, catalog_backend="json")
+    fu = st.create_data_frame("s", "t", SchemaType.TFHE_BOOL, COLS, 2, 2)
+    st2 = StorageService(tmp_path, catalog_backend="sqlite")
+    entry = st2.get_data_frame("s", fu)
+    assert entry.partitions == 2 and entry.columns == COLS
+    # subsequent saves land in the db, not the sidecar
+    fu2 = st2.create_data_frame("s", "t2", SchemaType.TFHE_BOOL, COLS, 1, 1)
+    st3 = StorageService(tmp_path, catalog_backend="sqlite")
+    assert st3.get_data_frame("s", fu2).name == "t2"
 
 
 def test_keystore_survives_restart(tmp_path):
