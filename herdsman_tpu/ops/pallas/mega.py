@@ -2087,6 +2087,161 @@ def mega13_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
     return jnp.transpose(out_T, (2, 0, 1))
 
 
+def _mega14_kernel(a_ref, acc0_ref, btT2_ref, out_ref, acc_sc, *,
+                   p: TFHEParams, P: int, HALF: int, PT: int, G: int,
+                   ablate: str = ""):
+    """mega-v14: mega13 with a PT-MAJOR digit stream — ONE dot per output
+    column tile.
+
+    mega13 pays (k+1) dots + k full-size [C4P, Bt] i32 adds per tile
+    because its bitcast stream is c_in-major while the window slides in
+    pair-tile units.  Here the packed u32 stream is reordered
+    [k+1, PT, P, Bt] -> [PT, k+1, P, Bt] BEFORE the bitcast — an
+    outer-dim transpose (vreg relabeling, no lane/sublane shuffles) of
+    N/2-volume — so the byte stream is already (pt, c_in, w, byte) and
+    the whole contraction is one [C4P, PT*(k+1)*4P] x [.., Bt] dot
+    against the ``bsk_btT2`` window.  Removes 2/3 of the dot-result VPU
+    add traffic at equal MXU work."""
+    i = pl.program_id(1)
+    Bt = acc_sc.shape[3]
+    kp1 = p.k + 1
+    W = p.bg_bits * p.levels
+    KP = kp1 * P
+    WIN = PT * kp1 * 4 * P
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(G):
+            acc_sc[g] = acc0_ref[:, :, g * Bt:(g + 1) * Bt]
+
+    def compute_digits(g):
+        if ablate == "nodigits":
+            return jnp.ones((PT * kp1 * 4 * P, Bt), dtype=I8)
+        r_amt = a_ref[0, 0, g * Bt:(g + 1) * Bt].astype(U32)
+        v = acc_sc[g]                                # [k+1, N, Bt]
+        rolled = v
+        nbits = 1 if ablate == "rot1" else p.log2_2N
+        for bit in range(nbits):
+            s = 1 << bit
+            if s < p.N:
+                top = rolled[:, p.N - s:, :]
+                shifted = jnp.concatenate(
+                    [jnp.zeros_like(top) - top, rolled[:, : p.N - s, :]],
+                    axis=1,
+                )
+            else:
+                shifted = jnp.zeros_like(rolled) - rolled
+            take_bit = (r_amt >> U32(bit)) & U32(1)
+            mask = (U32(0) - take_bit)[None, None, :]    # [1, 1, Bt]
+            rolled = jnp.where(
+                jnp.broadcast_to(mask, rolled.shape) != U32(0),
+                shifted, rolled)
+        diff = rolled - v
+        half = 1 << (p.bg_bits - 1)
+        offset = sum(half << (p.bg_bits * t) for t in range(p.levels))
+        val = ((diff + U32(1 << (32 - W - 1))) >> U32(32 - W)) + U32(offset)
+        lo = val[:, : p.N // 2, :] & U32(0xFFFF)
+        hi = val[:, p.N // 2:, :] << U32(16)
+        packed = (lo | hi) ^ U32(0x80808080)         # [k+1, N/2, Bt]
+        packed = jnp.transpose(
+            packed.reshape(kp1, PT, P, Bt), (1, 0, 2, 3)
+        )                                            # [PT, k+1, P, Bt]
+        d8 = pltpu.bitcast(packed, jnp.int8)         # [PT, k+1, 4P, Bt]
+        return d8.reshape(PT * kp1 * 4 * P, Bt)
+
+    def combine_into(g, ct, total):
+        a = total.astype(U32)                         # rows (j, c, q)
+        comb = (
+            a[0:KP]
+            + (a[KP:2 * KP] << U32(8))
+            + (a[2 * KP:3 * KP] << U32(16))
+            + (a[3 * KP:4 * KP] << U32(24))
+        )                                             # [KP, Bt], rows (c, q)
+        for c in range(kp1):
+            acc_sc[g, c, ct * P:(ct + 1) * P, :] = (
+                acc_sc[g, c, ct * P:(ct + 1) * P, :]
+                + comb[c * P:(c + 1) * P]
+            )
+
+    def do_dots(g, D):
+        prev = None
+        for ct in range(HALF):
+            o = (HALF - 1 - ct) * kp1 * 4 * P
+            total = jnp.dot(btT2_ref[0, :, o:o + WIN], D,
+                            preferred_element_type=I32)
+            if prev is not None:
+                combine_into(g, prev[0], prev[1])
+            prev = (ct, total)
+        combine_into(g, prev[0], prev[1])
+
+    D = compute_digits(0)
+    for g in range(G):
+        D_next = compute_digits(g + 1) if g + 1 < G else None
+        do_dots(g, D)
+        D = D_next
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        for g in range(G):
+            out_ref[:, :, g * Bt:(g + 1) * Bt] = acc_sc[g]
+
+
+def mega14_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
+                        bsk_btT2: jax.Array) -> jax.Array:
+    """mega13's wrapper against the pt-major ``bsk_btT2`` key."""
+    import os
+    p = params
+    P, HALF = bt_tile(p)
+    assert p.bg_bits == 8 and p.levels == 2, \
+        "mega14 needs byte-aligned digits (bg_bits=8, levels=2)"
+    assert p.N >= 2 * P, "mega14 needs N >= 2P (pair packing)"
+    PT = p.N // (2 * P)
+    B = acc0.shape[0]
+    bt_env = int(os.environ.get("HERDSMAN_MEGA_BT", "128"))
+    Bt = B if B <= bt_env else (bt_env if B % bt_env == 0 else 128)
+    assert B % Bt == 0, "pad batch to a multiple of 128 first"
+    BC = B // Bt
+    C4P = (p.k + 1) * 4 * P
+    KEXT = bsk_btT2.shape[-1]
+    acc_bytes = (p.k + 1) * Bt * p.N * 4
+    g_env = os.environ.get("HERDSMAN_MEGA_G")
+    G = int(g_env) if g_env else max(1, min(BC, (8 << 20) // acc_bytes))
+    while BC % G:
+        G -= 1
+    BO = BC // G
+
+    kwargs = {}
+    if jax.default_backend() == "tpu":
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    ablate = _ablate_knob()
+    acc0_T = jnp.transpose(acc0, (1, 2, 0))          # [k+1, N, B]
+    out_T = pl.pallas_call(
+        functools.partial(_mega14_kernel, p=p, P=P, HALF=HALF, PT=PT, G=G,
+                          ablate=ablate),
+        grid=(BO, p.n),
+        in_specs=[
+            pl.BlockSpec((1, 1, G * Bt), lambda bo, i: (i, 0, bo),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p.k + 1, p.N, G * Bt), lambda bo, i: (0, 0, bo),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C4P, KEXT), lambda bo, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((p.k + 1, p.N, G * Bt),
+                               lambda bo, i: (0, 0, bo),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p.k + 1, p.N, B), U32),
+        scratch_shapes=[
+            pltpu.VMEM((G, p.k + 1, p.N, Bt), U32),   # group acc
+        ],
+        interpret=jax.default_backend() != "tpu",
+        **kwargs,
+    )(a_t.reshape(p.n, 1, B), acc0_T, bsk_btT2)
+    return jnp.transpose(out_T, (2, 0, 1))
+
+
 def _register() -> None:
     bs.ROTATION_ENGINES = getattr(bs, "ROTATION_ENGINES", {})
     bs.ROTATION_ENGINES.setdefault("pallas_mega",
@@ -2115,6 +2270,8 @@ def _register() -> None:
                                    (mega12_blind_rotate, "bsk_btjj"))
     bs.ROTATION_ENGINES.setdefault("pallas_mega13",
                                    (mega13_blind_rotate, "bsk_btT"))
+    bs.ROTATION_ENGINES.setdefault("pallas_mega14",
+                                   (mega14_blind_rotate, "bsk_btT2"))
 
 
 _register()

@@ -74,6 +74,7 @@ class DeviceServerKey:
     bsk_btj2j: Any = None  # as btj2 with (j, c, q) column order (mega11)
     bsk_btjj: Any = None   # as btj with (j, c, q) column order (mega12)
     bsk_btT: Any = None    # i8 [n, k+1, C4P, KEXT] transposed (mega13)
+    bsk_btT2: Any = None   # i8 [n, C4P, KEXT] pt-major transposed (mega14)
 
     @property
     def R(self) -> int:
@@ -138,6 +139,10 @@ def device_server_key(
     if "bsk_btT" in layouts:
         bsk_btT = _btT_layout_device(p, ext)
 
+    bsk_btT2 = None
+    if "bsk_btT2" in layouts:
+        bsk_btT2 = _btT_layout_device(p, ext, pt_major=True)
+
     ksk = sk.ksk  # [kN, t, n+1] u32
     ksk_limbs = _np_i8_limbs(ksk).reshape(p.kN * p.ks_levels, (p.n + 1) * 4)
 
@@ -153,10 +158,12 @@ def device_server_key(
         bsk_btj2j=bsk_btj2j,
         bsk_btjj=bsk_btjj,
         bsk_btT=bsk_btT,
+        bsk_btT2=bsk_btT2,
     )
 
 
-def _btT_layout_device(p: TFHEParams, ext: np.ndarray) -> jax.Array:
+def _btT_layout_device(p: TFHEParams, ext: np.ndarray,
+                       pt_major: bool = False) -> jax.Array:
     """mega13's TRANSPOSED windowed key: [n, k+1(c_in), C4P, KEXT] i8.
 
     The mega13 kernel keeps the accumulator as [k+1, N, Bt] (coefficients
@@ -220,6 +227,13 @@ def _btT_layout_device(p: TFHEParams, ext: np.ndarray) -> jax.Array:
         u = colsA + jnp.uint32(0x80808080)
         limbs = ((u[..., None] >> shifts) & jnp.uint32(0xFF)).astype(
             jnp.int32) - 128
+        if pt_major:
+            # mega14: columns (pt_ext, c_in, w, b) — ONE dot per output
+            # tile (the kernel reorders its digit stream to match with a
+            # cheap outer-dim transpose before the bitcast)
+            # [pt, b, c_in, c_out, w, q, j] -> [j, c_out, q, pt, c_in, w, b]
+            t = jnp.transpose(limbs.astype(jnp.int8), (6, 3, 5, 0, 2, 4, 1))
+            return t.reshape(4 * kp1 * P, PT_EXT * kp1 * P * 4)
         # [pt, b, c_in, c_out, w, q, j] -> [c_in, j, c_out, q, pt, w, b]
         t = jnp.transpose(limbs.astype(jnp.int8), (2, 6, 3, 5, 0, 4, 1))
         return t.reshape(kp1, 4 * kp1 * P, PT_EXT * P * 4)
@@ -232,6 +246,8 @@ def layouts_for_engine(engine: str) -> tuple[str, ...]:
     the eager API, shortint, the coordinator and bench)."""
     if engine == "pallas_mega13":
         return ("bsk_btT",)
+    if engine == "pallas_mega14":
+        return ("bsk_btT2",)
     if engine == "pallas_mega11":
         return ("bsk_btj2j",)
     if engine == "pallas_mega12":
@@ -262,7 +278,7 @@ def fit_engine(engine: str, params: TFHEParams,
     engine name (eager API, shortint, coordinator, bench) must route
     through this so none of them can OOM the device at key ingest."""
     P, HALF = bt_tile(params)
-    if engine == "pallas_mega13":
+    if engine in ("pallas_mega13", "pallas_mega14"):
         # transposed key: n * (k+1) * C4P * KEXT bytes, and the engine
         # needs byte-aligned digits + pair packing
         if params.bg_bits != 8 or params.levels != 2 or params.N < 2 * P:

@@ -419,50 +419,62 @@ B8L2_SETS = [
 ]
 
 
+T_ENGINES = ["pallas_mega13", "pallas_mega14"]
+
+
+@pytest.mark.parametrize("engine", T_ENGINES)
 @pytest.mark.parametrize("params", B8L2_SETS,
                          ids=[q.name for q in B8L2_SETS])
-def test_mega13_blind_rotate_bitexact(params):
+def test_megaT_blind_rotate_bitexact(params, engine):
+    from herdsman_tpu.ops.server_key import layouts_for_engine
+
     rng = np.random.default_rng(31)
     ck, sk = ref.keygen(params, rng)
-    dsk = device_server_key(sk, layouts=("bsk_btT",))
+    dsk = device_server_key(sk, layouts=layouts_for_engine(engine))
     ct = rand_u32(rng, 3, params.n + 1)
     tp = bs.make_test_poly(params)
     got = np.asarray(bs.blind_rotate_batch(
-        dsk, jnp.asarray(ct), tp, engine="pallas_mega13", unroll=True))
+        dsk, jnp.asarray(ct), tp, engine=engine, unroll=True))
     for i in range(3):
         expect = ref.blind_rotate(sk, ct[i], np.asarray(tp))
         np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
 
 
+@pytest.mark.parametrize("engine", T_ENGINES)
 @pytest.mark.parametrize("g_env", ["2", "1"])
-def test_mega13_multichunk_bitexact(g_env, monkeypatch):
+def test_megaT_multichunk_bitexact(g_env, engine, monkeypatch):
     """G > 1 (multi-group VMEM acc) and BO > 1 (multiple chunk groups) —
-    the grouped grid paths of the transposed kernel."""
+    the grouped grid paths of the transposed kernels."""
+    from herdsman_tpu.ops.server_key import layouts_for_engine
+
     monkeypatch.setenv("HERDSMAN_MEGA_G", g_env)
     params = B8L2_SETS[0]
     rng = np.random.default_rng(33)
     ck, sk = ref.keygen(params, rng)
-    dsk = device_server_key(sk, layouts=("bsk_btT",))
+    dsk = device_server_key(sk, layouts=layouts_for_engine(engine))
     B = 256  # Bt=128 -> BC=2: G=2/BO=1 and G=1/BO=2
     ct = rand_u32(rng, B, params.n + 1)
     tp = bs.make_test_poly(params)
     got = np.asarray(bs.blind_rotate_batch(
-        dsk, jnp.asarray(ct), tp, engine="pallas_mega13", unroll=True))
+        dsk, jnp.asarray(ct), tp, engine=engine, unroll=True))
     for i in range(0, B, 37):
         expect = ref.blind_rotate(sk, ct[i], np.asarray(tp))
         np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
 
 
-def test_mega13_full_bootstrap_decrypts():
+@pytest.mark.parametrize("engine", T_ENGINES)
+def test_megaT_full_bootstrap_decrypts(engine):
+    from herdsman_tpu.ops.server_key import layouts_for_engine
+
     params = B8L2_SETS[2]  # the K2-geometry set
     rng = np.random.default_rng(34)
     ck, sk = ref.keygen(params, rng)
-    dsk = device_server_key(sk, layouts=("bsk_btT",))
+    dsk = device_server_key(sk, layouts=layouts_for_engine(engine))
     bits = np.array([True, False, True, True])
     ct = ref.encrypt_bool(ck, bits, rng)
     acc = bs.blind_rotate_batch(dsk, jnp.asarray(ct),
                                 bs.make_test_poly(params),
-                                engine="pallas_mega13", unroll=True)
+                                engine=engine, unroll=True)
     raw = bs.sample_extract_batch(params, acc)
     got = np.asarray(bs.key_switch_batch(dsk, raw))
     for i in range(len(bits)):
