@@ -2008,7 +2008,8 @@ def _mega13_kernel(a_ref, acc0_ref, btT_ref, out_ref, acc_sc, *,
 
     def do_dots(g, D):
         prev = None
-        for ct in range(HALF):
+        tiles = 1 if ablate == "onedot" else HALF  # probe: 1/HALF the dots
+        for ct in range(tiles):
             total = do_dot(D, ct)
             if prev is not None:
                 combine_into(g, prev[0], prev[1])
@@ -2049,7 +2050,11 @@ def mega13_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
     KEXT = bsk_btT.shape[-1]
     acc_bytes = (p.k + 1) * Bt * p.N * 4
     g_env = os.environ.get("HERDSMAN_MEGA_G")
-    G = int(g_env) if g_env else max(1, min(BC, (8 << 20) // acc_bytes))
+    # BO=1 whenever the whole batch's group accumulators fit VMEM: with
+    # the VPU stream nearly free, one key pass + more group chains beat
+    # mega8's G=16 VMEM collapse — measured +17.8% at B=2048/G=16
+    # (docs/BENCH_LOG.md round 3)
+    G = int(g_env) if g_env else max(1, min(BC, (13 << 20) // acc_bytes))
     while BC % G:
         G -= 1
     BO = BC // G
@@ -2205,7 +2210,8 @@ def mega14_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
     KEXT = bsk_btT2.shape[-1]
     acc_bytes = (p.k + 1) * Bt * p.N * 4
     g_env = os.environ.get("HERDSMAN_MEGA_G")
-    G = int(g_env) if g_env else max(1, min(BC, (8 << 20) // acc_bytes))
+    # same BO=1-when-it-fits heuristic as mega13 (measured there)
+    G = int(g_env) if g_env else max(1, min(BC, (13 << 20) // acc_bytes))
     while BC % G:
         G -= 1
     BO = BC // G
