@@ -1921,7 +1921,7 @@ def mega12_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
 
 def _mega13_kernel(a_ref, acc0_ref, btT_ref, out_ref, acc_sc, *,
                    p: TFHEParams, P: int, HALF: int, PT: int, G: int,
-                   ablate: str = ""):
+                   S: int = 1, ablate: str = ""):
     """mega-v13: TRANSPOSED accumulator + bitcast digit stream.
 
     The accumulator lives as [k+1, N(sublanes), Bt(lanes)] — the layout
@@ -1949,10 +1949,10 @@ def _mega13_kernel(a_ref, acc0_ref, btT_ref, out_ref, acc_sc, *,
         for g in range(G):
             acc_sc[g] = acc0_ref[:, :, g * Bt:(g + 1) * Bt]
 
-    def compute_digits(g):
+    def compute_digits(g, st):
         if ablate == "nodigits":
             return jnp.ones((kp1, 4 * (p.N // 2), Bt), dtype=I8)
-        r_amt = a_ref[0, 0, g * Bt:(g + 1) * Bt].astype(U32)
+        r_amt = a_ref[st, 0, g * Bt:(g + 1) * Bt].astype(U32)
         v = acc_sc[g]                                # [k+1, N, Bt]
         rolled = v
         nbits = 1 if ablate == "rot1" else p.log2_2N
@@ -1983,11 +1983,11 @@ def _mega13_kernel(a_ref, acc0_ref, btT_ref, out_ref, acc_sc, *,
         packed = (lo | hi) ^ U32(0x80808080)         # [k+1, N/2, Bt]
         return pltpu.bitcast(packed, jnp.int8)       # [k+1, 2N, Bt]
 
-    def do_dot(D, ct):
+    def do_dot(D, ct, st):
         o = (HALF - 1 - ct) * 4 * P
         total = None
         for c in range(kp1):
-            part = jnp.dot(btT_ref[0, c, :, o:o + WIN], D[c],
+            part = jnp.dot(btT_ref[st, c, :, o:o + WIN], D[c],
                            preferred_element_type=I32)
             total = part if total is None else total + part
         return total                                  # [C4P, Bt] i32
@@ -2006,21 +2006,22 @@ def _mega13_kernel(a_ref, acc0_ref, btT_ref, out_ref, acc_sc, *,
                 + comb[c * P:(c + 1) * P]
             )
 
-    def do_dots(g, D):
+    def do_dots(g, D, st):
         prev = None
         tiles = 1 if ablate == "onedot" else HALF  # probe: 1/HALF the dots
         for ct in range(tiles):
-            total = do_dot(D, ct)
+            total = do_dot(D, ct, st)
             if prev is not None:
                 combine_into(g, prev[0], prev[1])
             prev = (ct, total)
         combine_into(g, prev[0], prev[1])
 
-    D = compute_digits(0)
-    for g in range(G):
-        D_next = compute_digits(g + 1) if g + 1 < G else None
-        do_dots(g, D)
-        D = D_next
+    for st in range(S):
+        D = compute_digits(0, st)
+        for g in range(G):
+            D_next = compute_digits(g + 1, st) if g + 1 < G else None
+            do_dots(g, D, st)
+            D = D_next
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _():
@@ -2065,17 +2066,21 @@ def mega13_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024,
         )
     ablate = _ablate_knob()
+    # STEPS=S: S CMux steps per grid cell (key block grows S-fold, cell
+    # count shrinks S-fold — probes the per-cell overhead share)
+    S = int(os.environ.get("HERDSMAN_MEGA_STEPS", "1"))
+    assert p.n % S == 0, "n must divide by STEPS"
     acc0_T = jnp.transpose(acc0, (1, 2, 0))          # [k+1, N, B]
     out_T = pl.pallas_call(
         functools.partial(_mega13_kernel, p=p, P=P, HALF=HALF, PT=PT, G=G,
-                          ablate=ablate),
-        grid=(BO, p.n),
+                          S=S, ablate=ablate),
+        grid=(BO, p.n // S),
         in_specs=[
-            pl.BlockSpec((1, 1, G * Bt), lambda bo, i: (i, 0, bo),
+            pl.BlockSpec((S, 1, G * Bt), lambda bo, i: (i, 0, bo),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((p.k + 1, p.N, G * Bt), lambda bo, i: (0, 0, bo),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p.k + 1, C4P, KEXT),
+            pl.BlockSpec((S, p.k + 1, C4P, KEXT),
                          lambda bo, i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
