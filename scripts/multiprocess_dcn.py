@@ -186,10 +186,39 @@ def main() -> None:
     assert got_val == expect_val, (
         f"process {pid}: plan output {got_val} != {expect_val}")
 
+    # ---- D. the integer tier's kernel path: a programmable bootstrap
+    #         (LUT) batch sharded across the process boundary ------------
+    from herdsman_tpu.mesh import pbs_batch_sharded
+    from herdsman_tpu.ops import pbs as pbs_mod
+
+    space_bits = 4
+    table = [(3 * m + 1) % 16 for m in range(16)]
+    Bp = n_global + 3  # deliberately not divisible (pad+slice path)
+    msgs = rng.integers(0, 4, Bp)
+    # host numpy (identical on all processes) — pbs_batch_sharded pads to
+    # the device count itself, then the jitted shard_map globalizes it
+    ct_p = jnp.asarray(
+        ref.lwe_encrypt_raw(ck, pbs_mod.encode(TOY, msgs, space_bits), rng))
+    out_p = jax.block_until_ready(pbs_batch_sharded(
+        dsk_g, mesh, ct_p, table, space_bits, engine="conv_i8"))
+    expect_p = np.array([table[m] % 16 for m in msgs])
+    for shard in out_p.addressable_shards:
+        # output is [Bp, n+1]; shards split axis 0
+        rows = list(range(shard.index[0].start or 0,
+                          min(shard.index[0].stop or Bp, Bp)))
+        if not rows:
+            continue
+        got_p = pbs_mod.decode(
+            TOY, ref.lwe_phase(ck.lwe_key, np.asarray(shard.data)),
+            space_bits)
+        assert np.array_equal(np.asarray(got_p)[:len(rows)],
+                              expect_p[rows]), (
+            f"process {pid}: PBS shard {shard.index} wrong")
+
     print(f"MULTIPROCESS OK: process {pid}/{args.num_processes}, "
           f"{n_global} global devices, mesh {mesh.devices.shape}, "
           f"{n_checked} local rows decrypt-exact "
-          f"(herd step + bootstrap + map/reduce plan)",
+          f"(herd step + bootstrap + map/reduce plan + sharded PBS)",
           flush=True)
 
 
