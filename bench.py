@@ -371,16 +371,25 @@ def main() -> None:
         return
 
     _fit_engine_to_params(args)
-    try:
-        bench_bootstrap(args)
-    except Exception as e:  # noqa: BLE001 — headline must always print
-        if args.engine.startswith("pallas_mega"):
-            log(f"{args.engine} failed ({type(e).__name__}: {e}); "
-                "falling back to pallas_fused")
-            args.engine = "pallas_fused"
+    # fallback chain: if the flagship ever fails to compile/run, step down
+    # through the previous headline engines before the slow-but-sturdy one
+    chain = {"pallas_mega13": "pallas_mega11", "pallas_mega11":
+             "pallas_mega8", "pallas_mega8": "pallas_fused",
+             "pallas_mega12": "pallas_mega7", "pallas_mega7": "pallas_fused"}
+    while True:
+        try:
             bench_bootstrap(args)
-        else:
-            raise
+            break
+        except Exception as e:  # noqa: BLE001 — headline must always print
+            nxt = chain.get(args.engine,
+                            "pallas_fused"
+                            if args.engine.startswith("pallas_mega")
+                            else None)
+            if nxt is None:
+                raise
+            log(f"{args.engine} failed ({type(e).__name__}: {e}); "
+                f"falling back to {nxt}")
+            args.engine = nxt
 
 
 def bench_bootstrap(args) -> None:
