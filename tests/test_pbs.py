@@ -34,6 +34,33 @@ def test_pbs_lut(pbs_setup, msg_bits, table_fn):
     np.testing.assert_array_equal(got, [table[int(m)] for m in msgs])
 
 
+def test_pbs_lut_flagship_engine():
+    """PBS (incl. the many-LUT coarse mod switch) on the FLAGSHIP
+    transposed engine: the integer tier rides the same blind-rotation
+    entry point, so the bitcast kernel must decode LUTs exactly too."""
+    import dataclasses as dc
+
+    p = dc.replace(TOY, name="toy_b8l2_pbs", n=8, N=256, k=2,
+                   bg_bits=8, levels=2)
+    rng = np.random.default_rng(4100)
+    ck, sk = ref.keygen(p, rng)
+    dsk = device_server_key(sk, layouts=("bsk_btT",))
+    table = [(3 * m + 1) % 4 for m in range(4)]
+    msgs = rng.integers(0, 4, 6)
+    ct = jnp.asarray(ref.lwe_encrypt_raw(ck, pbs.encode(p, msgs, 2), rng))
+    out = pbs.pbs_batch(dsk, ct, table, 2, engine="pallas_mega13",
+                        unroll=True)
+    got = pbs.decode(p, ref.lwe_phase(ck.lwe_key, np.asarray(out)), 2)
+    np.testing.assert_array_equal(got, [table[int(m)] for m in msgs])
+    # many-LUT: two tables, one rotation, coarse mod switch
+    sq = [(m * m) % 4 for m in range(4)]
+    outs = pbs.pbs_many_batch(dsk, ct, (table, sq), 2,
+                              engine="pallas_mega13", unroll=True)
+    for tbl, o in zip((table, sq), outs):
+        got = pbs.decode(p, ref.lwe_phase(ck.lwe_key, np.asarray(o)), 2)
+        np.testing.assert_array_equal(got, [tbl[int(m)] for m in msgs])
+
+
 def test_pbs_composes(pbs_setup):
     """PBS output encoding feeds the next PBS (noise refreshed each hop)."""
     ck, sk, dsk = pbs_setup
