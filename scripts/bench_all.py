@@ -116,5 +116,7 @@ def run_param_set(name, engines, batches):
 
 
 if __name__ == "__main__":
+    run_param_set("std128_k2", ["pallas_mega13", "pallas_mega11"],
+                  [1024, 2048])
     run_param_set("std128", ["pallas_fused", "pallas_bt"], [512, 1024])
     run_param_set("std128_fast", ["pallas_fused"], [1024])
