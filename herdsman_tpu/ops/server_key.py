@@ -278,22 +278,24 @@ def fit_engine(engine: str, params: TFHEParams,
     engine name (eager API, shortint, coordinator, bench) must route
     through this so none of them can OOM the device at key ingest."""
     P, HALF = bt_tile(params)
+    btj2_bytes = (params.n * 2 * HALF * (params.k + 1) * params.levels
+                  * P * (params.k + 1) * 4 * P)
     if engine in ("pallas_mega13", "pallas_mega14"):
         # transposed key: n * (k+1) * C4P * KEXT bytes, and the engine
-        # needs byte-aligned digits + pair packing
-        if params.bg_bits != 8 or params.levels != 2 or params.N < 2 * P:
-            return "pallas_mega12"
+        # needs byte-aligned digits + pair packing; at params it cannot
+        # serve, prefer mega11 (the previous headline) when its doubled
+        # key fits, else the single-width mega12
         PT_EXT = params.N // (2 * P) + HALF - 1
         btT_bytes = (params.n * (params.k + 1) * 4 * (params.k + 1) * P
                      * PT_EXT * P * 4)
-        if btT_bytes > hbm_budget_bytes:
-            return "pallas_mega12"
-        return engine
+        if (params.bg_bits == 8 and params.levels == 2
+                and params.N >= 2 * P and btT_bytes <= hbm_budget_bytes):
+            return engine
+        return ("pallas_mega11" if btj2_bytes <= hbm_budget_bytes
+                else "pallas_mega12")
     if engine not in ("pallas_mega8", "pallas_mega9", "pallas_mega10",
                       "pallas_mega11"):
         return engine
-    btj2_bytes = (params.n * 2 * HALF * (params.k + 1) * params.levels
-                  * P * (params.k + 1) * 4 * P)
     if btj2_bytes > hbm_budget_bytes:
         return "pallas_mega12"
     return engine
