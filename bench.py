@@ -468,6 +468,15 @@ def bench_bootstrap(args) -> None:
     log(f"chained x{K}: {dt * 1e3:.1f} ms/bootstrap-batch of {args.batch} "
         f"=> {rate:.1f} bootstraps/s/chip (chain decrypt bad={n_bad_c})")
 
+    try:  # session-throughput gauge (scripts/standard_candle.py)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from scripts.standard_candle import run_candle
+        c = run_candle()
+        log(f"standard candle: {c['value']} TMAC/s "
+            f"({c['vs_anchor']:.2f}x the round-3 anchor session)")
+    except Exception as e:  # noqa: BLE001 — gauge only, never fatal
+        log(f"standard candle skipped ({type(e).__name__})")
+
     from herdsman_tpu.utils import roofline
     sol = roofline.speed_of_light(dsk.params, args.batch)
     log(f"roofline ({sol['device']}, int8): "
