@@ -151,7 +151,11 @@ class _Guard:
                 raise InvalidTokenException(
                     "connection already authenticated as a different user")
             pin.inflight += 1
-        context.add_callback(lambda: self._release_pin(peer))
+        # add_callback returns False (and never fires) if the RPC already
+        # terminated — release immediately then, or the pin's inflight
+        # count leaks and it becomes exempt from TTL expiry forever.
+        if not context.add_callback(lambda: self._release_pin(peer)):
+            self._release_pin(peer)
         return raw
 
     def unary(self, fn):

@@ -36,8 +36,9 @@ class ServerConfig:
     key_directory: str = "./keys"
     storage_directory: str = "./storage"
     # frame-catalog persistence: "json" (atomic sidecar, default) or
-    # "sqlite" (WAL database — safe under concurrent coordinator
-    # processes).  The reference finds SQLite3 in CMake but never links
+    # "sqlite" (WAL database — crash-safe transactional saves; single
+    # coordinator process either way).  The reference finds SQLite3 in
+    # CMake but never links
     # it into logic (reference CMakeLists.txt:76,215) — evidently its
     # planned-but-unbuilt persistence layer; both backends here exceed
     # the reference's purely in-memory catalog (SURVEY.md §5).

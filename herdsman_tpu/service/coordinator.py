@@ -132,7 +132,9 @@ class Coordinator:
         )
         # session -> (resolved engine name, DeviceServerKey)
         self._session_dsk: dict[str, tuple[str, object]] = {}
-        self._offload_group = None  # lazy OffloadWorkerGroup (workers.lambda)
+        # lazy worker group: GrpcWorkerGroup (workers.grpc) or
+        # OffloadWorkerGroup (workers.lambda)
+        self._offload_group = None
         self.execution.set_runner(self._run_job)
 
     # ---- auth (reference src/controller/auth_controller.cpp) ----
@@ -447,6 +449,17 @@ class Coordinator:
         return self._run_job_inner(job)
 
     def _run_job_inner(self, job: JobDescriptor):
+        if self.config.grpc_workers is not None:
+            # static gRPC worker fleet (the reference's PRIMARY flavor,
+            # build_worker_group grpc branch src/main.cpp:67-84 ->
+            # grpc_worker_group.cpp:13-110): round-robin async dispatch
+            # of proto tasks over herdsman.Worker/{map,reduce}
+            from herdsman_tpu.service.grpc_worker import GrpcWorkerGroup
+            from herdsman_tpu.service.offload import OffloadJobRunner
+            if self._offload_group is None:
+                self._offload_group = GrpcWorkerGroup(
+                    self.config.grpc_workers.addresses)
+            return OffloadJobRunner(self.storage, self._offload_group)(job)
         if self.config.lambda_workers is not None:
             # elastic CPU-offload dispatch (the reference's
             # build_worker_group lambda branch, src/main.cpp:67-84)

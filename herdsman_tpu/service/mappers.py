@@ -151,3 +151,66 @@ def plan_to_model(p: "pb.ExecutionPlanProto") -> ExecutionPlan:
     plan = ExecutionPlan(schema, g)
     plan.validate()
     return plan
+
+
+# ---------- worker tasks ----------
+# (reference dto_mappers worker.hpp overloads, used at
+# grpc_worker_group.cpp:84,93 to serialize MapTask/ReduceTask)
+
+def task_to_proto(task):
+    from herdsman_tpu.service.offload import MapTask, ReduceTask
+
+    key = pb.CryptoKeyPtrProto(schema_type=int(task.key_ptr.schema_type))
+    out = pb.DataFramePtrProto(uuid=task.output_ptr.uuid,
+                               partition=task.output_ptr.partition)
+    circ = circuit_to_proto(task.circuit)
+    if isinstance(task, MapTask):
+        return pb.MapTaskProto(
+            session_uuid=task.session_uuid,
+            input=pb.InputDataFramePtrProto(
+                uuid=task.input_ptr.uuid,
+                partition=task.input_ptr.partition,
+                row_count=task.input_ptr.row_count),
+            output=out, key=key, circuit=circ)
+    if isinstance(task, ReduceTask):
+        return pb.ReduceTaskProto(
+            session_uuid=task.session_uuid,
+            inputs=[pb.InputDataFramePtrProto(
+                uuid=p.uuid, partition=p.partition, row_count=p.row_count)
+                for p in task.input_ptrs],
+            output=out, key=key, circuit=circ)
+    raise MappingError(f"unknown task {task!r}")
+
+
+def map_task_to_model(p: "pb.MapTaskProto"):
+    from herdsman_tpu.service.offload import (CryptoKeyPtr, DataFramePtr,
+                                              InputDataFramePtr, MapTask)
+
+    try:
+        schema = SchemaType(p.key.schema_type)
+    except ValueError as e:
+        raise MappingError(f"bad key schema_type: {e}") from e
+    return MapTask(
+        session_uuid=p.session_uuid,
+        input_ptr=InputDataFramePtr(p.input.uuid, p.input.partition,
+                                    p.input.row_count),
+        output_ptr=DataFramePtr(p.output.uuid, p.output.partition),
+        key_ptr=CryptoKeyPtr(schema),
+        circuit=circuit_to_model(p.circuit))
+
+
+def reduce_task_to_model(p: "pb.ReduceTaskProto"):
+    from herdsman_tpu.service.offload import (CryptoKeyPtr, DataFramePtr,
+                                              InputDataFramePtr, ReduceTask)
+
+    try:
+        schema = SchemaType(p.key.schema_type)
+    except ValueError as e:
+        raise MappingError(f"bad key schema_type: {e}") from e
+    return ReduceTask(
+        session_uuid=p.session_uuid,
+        input_ptrs=tuple(InputDataFramePtr(q.uuid, q.partition, q.row_count)
+                         for q in p.inputs),
+        output_ptr=DataFramePtr(p.output.uuid, p.output.partition),
+        key_ptr=CryptoKeyPtr(schema),
+        circuit=circuit_to_model(p.circuit))

@@ -89,11 +89,14 @@ class StorageService:
         return self._dir / "catalog.db"
 
     def _open_db(self) -> None:
-        """WAL-mode SQLite catalog: transactional saves are safe under
-        concurrent coordinator processes (where the json sidecar's
-        write-rename can interleave).  The reference finds SQLite3 but
-        never uses it (reference CMakeLists.txt:76,215 — a
-        planned-but-unbuilt persistence layer); this implements it."""
+        """WAL-mode SQLite catalog: crash-safe, transactional saves for a
+        SINGLE coordinator process.  (Saves rewrite the table from this
+        process's in-memory snapshot, so two coordinators sharing a
+        storage dir would still lose each other's updates — same
+        single-owner model as the reference's in-memory catalog.)  The
+        reference finds SQLite3 but never uses it (reference
+        CMakeLists.txt:76,215 — a planned-but-unbuilt persistence
+        layer); this implements it."""
         import sqlite3
 
         self._db = sqlite3.connect(str(self._db_path),
