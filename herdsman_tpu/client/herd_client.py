@@ -8,7 +8,7 @@ client-side workflow."""
 from __future__ import annotations
 
 import time
-from typing import Iterable, Optional, Sequence
+from typing import Optional, Sequence
 
 import grpc
 import numpy as np

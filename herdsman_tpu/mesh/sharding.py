@@ -120,7 +120,7 @@ def bootstrap_bool_sharded(
     one-partition-per-worker dispatch as array sharding)."""
     p = dsk.params
     if engine.startswith("pallas"):
-        bs._register_pallas_engine()
+        bs._register_pallas_engine(engine)
     if engine not in bs.ENGINES:
         entry = bs.STEP_ENGINES.get(engine) or bs.ROTATION_ENGINES[engine]
         key_layout = entry[1]
@@ -182,7 +182,7 @@ def _engine_key_layout(engine: str) -> str:
     """BSK layout field a given engine consumes (registry lookup across
     the three engine tiers)."""
     if engine.startswith("pallas"):
-        bs._register_pallas_engine()
+        bs._register_pallas_engine(engine)
     for reg in (bs.STEP_ENGINES, bs.ROTATION_ENGINES, bs.ENGINES):
         if engine in reg:
             return reg[engine][1]

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from herdsman_tpu.core.params import TFHEParams
 from herdsman_tpu.ops import poly
-from herdsman_tpu.ops.decomp import signed_decompose, unsigned_decompose
+from herdsman_tpu.ops.decomp import signed_decompose
 from herdsman_tpu.ops.server_key import DeviceServerKey
 
 U32 = jnp.uint32
@@ -85,10 +85,15 @@ STEP_ENGINES: dict[str, tuple[Callable, str]] = {}
 ROTATION_ENGINES: dict[str, tuple[Callable, str]] = {}
 
 
-def _register_pallas_engine() -> None:
+def _register_pallas_engine(engine: str = "") -> None:
     # Imported lazily: pallas engines self-register.
     from herdsman_tpu.ops.pallas import blind_rotate as _  # noqa: F401
     from herdsman_tpu.ops.pallas import mega as _mega  # noqa: F401
+
+    if engine and engine not in ROTATION_ENGINES and engine not in STEP_ENGINES:
+        # superseded engines (mega1-6, 9, 10) live in the archive module —
+        # loaded only when explicitly requested (round-4; VERDICT r3 #5)
+        from herdsman_tpu.ops.pallas import legacy as _legacy  # noqa: F401
 
 
 # ---------------------------------------------------------------------------
@@ -121,7 +126,7 @@ def blind_rotate_batch(
     """GINX blind rotation of a batch. ct [B, n+1] u32 -> acc [B, k+1, N] u32."""
     p = dsk.params
     if engine.startswith("pallas"):
-        _register_pallas_engine()
+        _register_pallas_engine(engine)
     step_mode = engine in STEP_ENGINES
     rotation_mode = engine in ROTATION_ENGINES
     if rotation_mode:

@@ -34,7 +34,6 @@ import logging
 import os
 import pathlib
 import threading
-import time
 import urllib.error
 import urllib.request
 from concurrent.futures import ThreadPoolExecutor

@@ -16,7 +16,6 @@ from herdsman_tpu.mesh import (
     shard_server_key,
 )
 from herdsman_tpu.ops import bootstrap as bs
-from herdsman_tpu.ops import gates
 from herdsman_tpu.ops.server_key import device_server_key
 
 

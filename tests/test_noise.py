@@ -12,10 +12,9 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from herdsman_tpu.core import PARAM_SETS, TEST_SMALL
+from herdsman_tpu.core import PARAM_SETS
 from herdsman_tpu.core import noise as nz
 from herdsman_tpu.core import reference as ref
-from herdsman_tpu.ops import bootstrap as bs
 from herdsman_tpu.ops import gates
 from herdsman_tpu.ops.server_key import device_server_key
 

@@ -4,7 +4,6 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from herdsman_tpu.core import numtheory as nt
 from herdsman_tpu.ops import modmath as mm
 from herdsman_tpu.ops import ntt as nttm
 from herdsman_tpu.ops import rns

@@ -16,11 +16,25 @@ from herdsman_tpu.ops.server_key import device_server_key
 
 U32 = np.uint32
 
-ENGINES = ["gather_u32", "conv_i8", "pallas_bt", "pallas_fused",
-           "pallas_mega", "pallas_mega2", "pallas_mega3", "pallas_mega4",
-           "pallas_mega5", "pallas_mega6", "pallas_mega7", "pallas_mega8",
-           "pallas_mega9", "pallas_mega10",
-           "pallas_mega11", "pallas_mega12"]
+# superseded engines (ops/pallas/legacy.py): still bit-exactness-tested,
+# but behind `pytest -m legacy` — the default suite covers only the
+# surviving tiers (round-4; the measured record lives in docs/BENCH_LOG.md)
+LEGACY_ENGINES = {"pallas_mega", "pallas_mega2", "pallas_mega3",
+                  "pallas_mega4", "pallas_mega5", "pallas_mega6",
+                  "pallas_mega9", "pallas_mega10"}
+
+
+def eng(name):
+    return (pytest.param(name, marks=pytest.mark.legacy)
+            if name in LEGACY_ENGINES else name)
+
+
+ENGINES = [eng(e) for e in
+           ["gather_u32", "conv_i8", "pallas_bt", "pallas_fused",
+            "pallas_mega", "pallas_mega2", "pallas_mega3", "pallas_mega4",
+            "pallas_mega5", "pallas_mega6", "pallas_mega7", "pallas_mega8",
+            "pallas_mega9", "pallas_mega10",
+            "pallas_mega11", "pallas_mega12"]]
 # scan/jit-wrapped paths skip pallas engines on CPU (interpret-in-scan is
 # pathologically slow to compile); pallas coverage comes from the unrolled
 # blind-rotate/bootstrap tests above + TPU benches
@@ -118,9 +132,10 @@ def test_blind_rotate_bitexact(toy_keys, toy_device_key, engine):
         np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
 
 
-@pytest.mark.parametrize("engine", ["pallas_mega4", "pallas_mega5",
-                                    "pallas_mega6", "pallas_mega7",
-                                    "pallas_mega8", "pallas_mega9"])
+@pytest.mark.parametrize("engine", [eng(e) for e in
+                                    ["pallas_mega4", "pallas_mega5",
+                                     "pallas_mega6", "pallas_mega7",
+                                     "pallas_mega8", "pallas_mega9"]])
 @pytest.mark.parametrize("g_env", ["2", "1"])
 def test_mega_multichunk_bitexact(toy_keys, toy_device_key, engine, g_env,
                                   monkeypatch):
@@ -355,10 +370,11 @@ import dataclasses as _dc
 MULTITILE = _dc.replace(TOY, name="toy_multitile", n=8, N=256)
 
 
-@pytest.mark.parametrize("engine", ["pallas_mega5", "pallas_mega6",
-                                    "pallas_mega7", "pallas_mega8",
-                                    "pallas_mega9", "pallas_mega10",
-                                    "pallas_mega11", "pallas_mega12"])
+@pytest.mark.parametrize("engine", [eng(e) for e in
+                                    ["pallas_mega5", "pallas_mega6",
+                                     "pallas_mega7", "pallas_mega8",
+                                     "pallas_mega9", "pallas_mega10",
+                                     "pallas_mega11", "pallas_mega12"]])
 def test_mega_multitile_bitexact(engine):
     rng = np.random.default_rng(11)
     ck, sk = ref.keygen(MULTITILE, rng)
@@ -383,11 +399,12 @@ MULTITILE_K4 = _dc.replace(TOY, name="toy_k4", n=8, N=256, k=4)
 
 @pytest.mark.parametrize("kparams", [MULTITILE_K2, MULTITILE_K4],
                          ids=["k2", "k4"])
-@pytest.mark.parametrize("engine", ["gather_u32", "conv_i8", "pallas_fused",
-                                    "pallas_mega5", "pallas_mega7",
-                                    "pallas_mega8", "pallas_mega9",
-                                    "pallas_mega10", "pallas_mega11",
-                                    "pallas_mega12"])
+@pytest.mark.parametrize("engine", [eng(e) for e in
+                                    ["gather_u32", "conv_i8", "pallas_fused",
+                                     "pallas_mega5", "pallas_mega7",
+                                     "pallas_mega8", "pallas_mega9",
+                                     "pallas_mega10", "pallas_mega11",
+                                     "pallas_mega12"]])
 def test_k2_blind_rotate_bitexact(engine, kparams):
     MULTITILE_K2 = kparams
     rng = np.random.default_rng(21)

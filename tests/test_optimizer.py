@@ -6,7 +6,6 @@ submitted); equivalence here is the safety contract that lets the compiler
 run optimized circuits while preserving the submitted plan's semantics.
 """
 
-import itertools
 import random
 
 from herdsman_tpu.circuit.builder import CircuitBuilder

@@ -3,16 +3,12 @@ partition split, validation aborts), execution service (locking, retry,
 status) — encoding the reference's behavioral contracts (SURVEY.md §4)."""
 
 import threading
-import time
 
 import numpy as np
 import pytest
 
 from herdsman_tpu.circuit.model import ColumnMeta, DataType, SchemaType
 from herdsman_tpu.service.auth import AuthService
-from herdsman_tpu.service.config import (
-    Config, ServerConfig, SecurityConfig,
-)
 from herdsman_tpu.service.errors import (
     InvalidTokenException,
     ObjectAlreadyExistsException,

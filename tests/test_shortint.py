@@ -1,6 +1,5 @@
 """Encrypted short-integer (PBS-backed) API tests."""
 
-import numpy as np
 import pytest
 
 from herdsman_tpu.core import TEST_PBS
