@@ -934,7 +934,8 @@ def mega13_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
     kwargs = {}
     if jax.default_backend() == "tpu":
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=int(os.environ.get("HERDSMAN_MEGA_VMEM",
+                                                100 * 1024 * 1024)),
         )
     ablate = _ablate_knob()
     # STEPS=S: S CMux steps per grid cell (key block grows S-fold, cell

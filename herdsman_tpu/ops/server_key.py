@@ -37,6 +37,8 @@ upload time into the forms the device engines consume:
 from __future__ import annotations
 
 import dataclasses
+import functools
+import os
 from typing import Any
 
 import jax
@@ -82,6 +84,26 @@ class DeviceServerKey:
         return (p.k + 1) * p.levels
 
 
+def _enable_compile_cache() -> None:
+    """Key-prep cost is COMPILE-dominated (the flat btT build runs in
+    ~4 s but its slice-stack HLO takes ~70-100 s to compile); the
+    persistent compilation cache turns every later session's prep into
+    seconds (measured 3.2 s warm vs 68.7 s cold through the axon tunnel,
+    scripts/probe_btT_prep.py).  Respects an explicit
+    JAX_COMPILATION_CACHE_DIR; disable with HERDSMAN_NO_COMPILE_CACHE=1."""
+    if os.environ.get("HERDSMAN_NO_COMPILE_CACHE"):
+        return
+    try:
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/herdsman_jax_cache"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
+
+
 def device_server_key(
     sk: ServerKey, layouts: tuple[str, ...] = ("bsk_ext", "bsk_conv")
 ) -> DeviceServerKey:
@@ -91,6 +113,7 @@ def device_server_key(
     ~O(n*R*(k+1)*2N) bytes; skip the ones your engine doesn't use to save
     HBM and transfer time).
     """
+    _enable_compile_cache()
     p = sk.params
     R = (p.k + 1) * p.levels
     N = p.N
@@ -164,6 +187,98 @@ def device_server_key(
 
 def _btT_layout_device(p: TFHEParams, ext: np.ndarray,
                        pt_major: bool = False) -> jax.Array:
+    """mega13's transposed key via the FLAT-INTERLEAVE Toeplitz build.
+
+    The round-3 builder (kept below as `_btT_layout_device_ref`, still
+    used for mega14's pt-major variant) assembled [pt, b, c_in, c_out, w,
+    q, j] blocks and finished with a 7-dim transpose interleaving the two
+    size-4 axes through the 128x128 minor tiles — XLA lowers that to a
+    near-gather and a production key took 450 s on device (BENCH_r03).
+
+    Observation: with the digit byte b PRE-INTERLEAVED into the
+    polynomial axis, the whole key column space flattens to ONE Toeplitz
+    index.  Define per step i the reversed 4-way table
+
+        Grev[ci, co, u*4 + b] = limb_j( ext[i, ci*levels + lev(b), co]
+                                        [ (N - 1 - u - toff(b)) mod 2N ] )
+
+    (lev(b) = levels-1-(b%2), toff(b) = (b//2)*N/2).  Then with the flat
+    column index c' = pt*4P + w*4 + b and row tile coordinate q:
+
+        keyT[..., q, c'] = Grev[(P-1-q)*4 + c']
+
+    — for fixed q a CONTIGUOUS slice of length KEXT, so the build is: one
+    limb split of the small ext step, one reversal, 4 row-selected
+    slices, and a P-slice Toeplitz stack, all pure data movement (the
+    same structure as `_block_toeplitz_layout_device`).  ~14x faster on
+    hardware (scripts/probe_btT_prep.py).  Bit-identical to the ref
+    builder (tests/test_ops_bitexact.py::test_btT_flat_matches_ref).
+    """
+    if pt_major:
+        return _btT_layout_device_ref(p, ext, pt_major=True)
+    n, R, kp1, twoN = ext.shape
+    P, HALF = bt_tile(p)
+    assert p.bg_bits == 8 and p.levels == 2, \
+        "bsk_btT needs byte-aligned digits (bg_bits=8, levels=2)"
+    assert p.N >= 2 * P, "bsk_btT needs N >= 2P (pair packing)"
+    PT_EXT = p.N // (2 * P) + HALF - 1
+    KEXT = PT_EXT * P * 4
+    x = jnp.asarray(ext)
+    # C=4 balances compile size vs per-step overhead (68.7 s cold compile
+    # vs C=16's 101.7 s; execution is ~1 s either way)
+    C = int(os.environ.get("HERDSMAN_BTT_CHUNK", "4"))
+    while n % C:
+        C //= 2
+    # NB: the final [n//C, C, ...] -> [n, ...] reshape must live INSIDE
+    # the jit: as a standalone dispatch it holds input + output buffers
+    # concurrently (2 x 8.4 GiB at STD128_K2 -> device OOM)
+    return _btT_jit(p, n, R, kp1, twoN, C)(x)
+
+
+@functools.lru_cache(maxsize=8)
+def _btT_jit(p: TFHEParams, n: int, R: int, kp1: int, twoN: int, C: int):
+    """Cached jitted flat-interleave builder (see _btT_layout_device)."""
+    P, HALF = bt_tile(p)
+    PT_EXT = p.N // (2 * P) + HALF - 1
+    KEXT = PT_EXT * P * 4
+    U = 3 * p.N // 2
+    shifts = jnp.asarray([0, 8, 16, 24], dtype=jnp.uint32)
+    row_sel = [jnp.asarray([c * p.levels + (p.levels - 1 - (b % 2))
+                            for c in range(kp1)]) for b in range(4)]
+
+    def one(e: jax.Array) -> jax.Array:  # e [R, kp1, 2N] u32
+        u32 = e + jnp.uint32(0x80808080)
+        limbs = (((u32[None] >> shifts[:, None, None, None])
+                  & jnp.uint32(0xFF)).astype(jnp.int32) - 128).astype(
+            jnp.int8)  # [4(j), R, kp1, 2N]
+        red = jnp.concatenate([limbs, limbs, limbs], axis=-1)[..., ::-1]
+        # red[..., s] = limb[..., (-1 - s) mod 2N]
+        planes = []
+        for b in range(4):
+            toff = (b // 2) * (p.N // 2)
+            sel = jnp.take(red, row_sel[b], axis=1)  # [4, ci, co, 6N]
+            planes.append(jax.lax.slice_in_dim(
+                sel, toff + p.N, toff + p.N + U, axis=-1))
+        q_flat = jnp.stack(planes, axis=-1).reshape(4, kp1, kp1, U * 4)
+        rows_q = jnp.stack(
+            [jax.lax.slice_in_dim(q_flat, (P - 1 - q) * 4,
+                                  (P - 1 - q) * 4 + KEXT, axis=-1)
+             for q in range(P)],
+            axis=3,
+        )  # [4(j), ci, co, P(q), KEXT]
+        t = jnp.transpose(rows_q, (1, 0, 2, 3, 4))  # [ci, j, co, q, KEXT]
+        return t.reshape(kp1, 4 * kp1 * P, KEXT)
+
+    if C > 1:
+        f = jax.vmap(one)
+        return jax.jit(lambda a: jax.lax.map(
+            f, a.reshape(n // C, C, R, kp1, twoN)).reshape(
+                n, kp1, 4 * kp1 * P, KEXT))
+    return jax.jit(lambda a: jax.lax.map(one, a))
+
+
+def _btT_layout_device_ref(p: TFHEParams, ext: np.ndarray,
+                           pt_major: bool = False) -> jax.Array:
     """mega13's TRANSPOSED windowed key: [n, k+1(c_in), C4P, KEXT] i8.
 
     The mega13 kernel keeps the accumulator as [k+1, N, Bt] (coefficients

@@ -361,6 +361,24 @@ def test_bt_layout_device_matches_host(small_keys):
     np.testing.assert_array_equal(devj, host.transpose(0, 2, 1, 3, 4))
 
 
+def test_btT_flat_matches_ref():
+    """mega13's flat-interleave Toeplitz key build (round-4, 14x faster
+    prep) is bit-identical to the round-3 reference builder, at both the
+    N=2P degenerate and the N=512/k=2 production geometry (HALF=4,
+    PT_EXT=5 — the sliding window crosses pair-tile boundaries)."""
+    from herdsman_tpu.ops import server_key as skm
+
+    for params in (B8L2_SETS[1], B8L2_SETS[2]):
+        rng = np.random.default_rng(55)
+        _, sk = ref.keygen(params, rng)
+        R = (params.k + 1) * params.levels
+        ext = skm._np_ext(sk.bsk.reshape(params.n, R, params.k + 1,
+                                         params.N))
+        fast = np.asarray(skm._btT_layout_device(params, ext))
+        slow = np.asarray(skm._btT_layout_device_ref(params, ext))
+        np.testing.assert_array_equal(fast, slow, err_msg=params.name)
+
+
 # HALF > 1 coverage for the windowed/packed mega kernels: TOY has N = 64
 # (P = 64, HALF = 1), which degenerates mega7's descending-sub packing and
 # mega8's sliding key window to trivial cases.  N = 256 gives P = 128,
