@@ -276,8 +276,17 @@ STD128_K4 = TFHEParams(
     security_bits=128,
 )
 
+# l=4 byte-aligned variant of the shortint set (bg=2^8, W=32 — an EXACT
+# decomposition, zero gadget noise, margins strictly above l=3's): the
+# geometry for the mega15 digit-window kernel and the round-4 N=2048-tier
+# hardware A/B (docs/BENCH_LOG.md round 4; 4/3 more external-product MACs
+# than l=3, built to measure that trade, not expected to win it).
+STD128_SHORTINT_L4 = dataclasses.replace(
+    STD128_SHORTINT, name="std128_shortint_l4", bg_bits=8, levels=4)
+
 PARAM_SETS = {
     p.name: p
     for p in (TOY, TEST_SMALL, TEST_PBS, STD128, STD128_FAST,
-              STD128_SHORTINT, STD128_SHORTINT_FAST, STD128_K2, STD128_K4)
+              STD128_SHORTINT, STD128_SHORTINT_FAST, STD128_SHORTINT_L4,
+              STD128_K2, STD128_K4)
 }

@@ -77,6 +77,7 @@ class DeviceServerKey:
     bsk_btjj: Any = None   # as btj with (j, c, q) column order (mega12)
     bsk_btT: Any = None    # i8 [n, k+1, C4P, KEXT] transposed (mega13)
     bsk_btT2: Any = None   # i8 [n, C4P, KEXT] pt-major transposed (mega14)
+    bsk_btT4: Any = None   # i8 [n, k+1, C4P, 4N] l=4 single-width (mega15)
 
     @property
     def R(self) -> int:
@@ -166,6 +167,10 @@ def device_server_key(
     if "bsk_btT2" in layouts:
         bsk_btT2 = _btT_layout_device(p, ext, pt_major=True)
 
+    bsk_btT4 = None
+    if "bsk_btT4" in layouts:
+        bsk_btT4 = _btT4_layout_device(p, ext)
+
     ksk = sk.ksk  # [kN, t, n+1] u32
     ksk_limbs = _np_i8_limbs(ksk).reshape(p.kN * p.ks_levels, (p.n + 1) * 4)
 
@@ -182,6 +187,7 @@ def device_server_key(
         bsk_btjj=bsk_btjj,
         bsk_btT=bsk_btT,
         bsk_btT2=bsk_btT2,
+        bsk_btT4=bsk_btT4,
     )
 
 
@@ -277,6 +283,74 @@ def _btT_jit(p: TFHEParams, n: int, R: int, kp1: int, twoN: int, C: int):
     return jax.jit(lambda a: jax.lax.map(one, a))
 
 
+def _btT4_layout_device(p: TFHEParams, ext: np.ndarray) -> jax.Array:
+    """mega15's l=4 SINGLE-WIDTH transposed key: [n, k+1, C4P, 4N] i8.
+
+    The l=4 byte-aligned gadget (bg=2^8, W=32, EXACT decomposition) puts
+    one coefficient's 4 digit bytes in each u32, so the bitcast digit
+    stream needs no pair packing and — because mega15 slides the DIGIT
+    window (a slice of the precomputed negacyclic +-diff stream) instead
+    of the key — the key is single-width:
+
+        keyT4[i, c_in, (j, c_out, q), (w, b)] =
+            limb_j( ext[i, c_in*levels + (levels-1-b), c_out]
+                    [ (q - w) mod 2N ] )
+
+    (byte 0 = LSB digit = level levels-1).  Same flat-interleave Toeplitz
+    build as ``bsk_btT``: with the reversed b-interleaved table
+    T[u*4+b] = poly_row(b)[P-1-u], row tile q is the contiguous slice
+    starting at (P-1-q)*4 of length 4N.  Built per VERDICT r3 #8 — the
+    N=2048-tier l=4 hardware A/B."""
+    n, R, kp1, twoN = ext.shape
+    P, HALF = bt_tile(p)
+    assert p.bg_bits == 8 and p.levels == 4, \
+        "bsk_btT4 needs the byte-aligned l=4 gadget (bg_bits=8, levels=4)"
+    return _btT4_jit(p, n, R, kp1, twoN)(jnp.asarray(ext))
+
+
+@functools.lru_cache(maxsize=8)
+def _btT4_jit(p: TFHEParams, n: int, R: int, kp1: int, twoN: int):
+    P, HALF = bt_tile(p)
+    KEXT = 4 * p.N
+    U = p.N + P - 1
+    shifts = jnp.asarray([0, 8, 16, 24], dtype=jnp.uint32)
+    row_sel = [jnp.asarray([c * p.levels + (p.levels - 1 - b)
+                            for c in range(kp1)]) for b in range(4)]
+
+    def one(e: jax.Array) -> jax.Array:  # e [R, kp1, 2N] u32
+        u32 = e + jnp.uint32(0x80808080)
+        limbs = (((u32[None] >> shifts[:, None, None, None])
+                  & jnp.uint32(0xFF)).astype(jnp.int32) - 128).astype(
+            jnp.int8)  # [4(j), R, kp1, 2N]
+        red = jnp.concatenate([limbs, limbs, limbs], axis=-1)[..., ::-1]
+        # red[..., s] = limb[..., (-1 - s) mod 2N]; T[u] = poly[P-1-u]
+        # = red[(u - P) mod 2N] -> slice at offset 2N - P
+        planes = []
+        for b in range(4):
+            sel = jnp.take(red, row_sel[b], axis=1)  # [4, ci, co, 6N]
+            planes.append(jax.lax.slice_in_dim(
+                sel, twoN - P, twoN - P + U, axis=-1))
+        q_flat = jnp.stack(planes, axis=-1).reshape(4, kp1, kp1, U * 4)
+        rows_q = jnp.stack(
+            [jax.lax.slice_in_dim(q_flat, (P - 1 - q) * 4,
+                                  (P - 1 - q) * 4 + KEXT, axis=-1)
+             for q in range(P)],
+            axis=3,
+        )  # [4(j), ci, co, P(q), 4N]
+        t = jnp.transpose(rows_q, (1, 0, 2, 3, 4))  # [ci, j, co, q, 4N]
+        return t.reshape(kp1, 4 * kp1 * P, KEXT)
+
+    C = int(os.environ.get("HERDSMAN_BTT_CHUNK", "4"))
+    while n % C:
+        C //= 2
+    if C > 1:
+        f = jax.vmap(one)
+        return jax.jit(lambda a: jax.lax.map(
+            f, a.reshape(n // C, C, R, kp1, twoN)).reshape(
+                n, kp1, 4 * kp1 * P, KEXT))
+    return jax.jit(lambda a: jax.lax.map(one, a))
+
+
 def _btT_layout_device_ref(p: TFHEParams, ext: np.ndarray,
                            pt_major: bool = False) -> jax.Array:
     """mega13's TRANSPOSED windowed key: [n, k+1(c_in), C4P, KEXT] i8.
@@ -363,6 +437,8 @@ def layouts_for_engine(engine: str) -> tuple[str, ...]:
         return ("bsk_btT",)
     if engine == "pallas_mega14":
         return ("bsk_btT2",)
+    if engine == "pallas_mega15":
+        return ("bsk_btT4",)
     if engine == "pallas_mega11":
         return ("bsk_btj2j",)
     if engine == "pallas_mega12":
@@ -405,6 +481,18 @@ def fit_engine(engine: str, params: TFHEParams,
                      * PT_EXT * P * 4)
         if (params.bg_bits == 8 and params.levels == 2
                 and params.N >= 2 * P and btT_bytes <= hbm_budget_bytes):
+            return engine
+        return ("pallas_mega11" if btj2_bytes <= hbm_budget_bytes
+                else "pallas_mega12")
+    if engine == "pallas_mega15":
+        # l=4 byte-aligned tier probe (12.9 GiB key at N=2048) — outside
+        # the serving budget and measured strictly worse than mega12 at
+        # the N=2048 tier (4/3 more MACs, docs/BENCH_LOG.md round 4);
+        # production configs fall back like the mega13 family
+        btT4_bytes = (params.n * (params.k + 1) * (params.k + 1) * 4
+                      * P * 4 * params.N)
+        if (params.bg_bits == 8 and params.levels == 4
+                and btT4_bytes <= hbm_budget_bytes):
             return engine
         return ("pallas_mega11" if btj2_bytes <= hbm_budget_bytes
                 else "pallas_mega12")

@@ -518,6 +518,56 @@ def test_megaT_full_bootstrap_decrypts(engine):
         assert ref.lwe_decrypt_bool(ck, got[i]) == bits[i]
 
 
+# mega15: the l=4 byte-aligned gadget (bg=8, levels=4, EXACT W=32
+# decomposition) with a digit-side window and single-width key — built for
+# the N=2048-tier l=4 hardware A/B (VERDICT r3 #8).  N=256 exercises
+# HALF=2 (the digit-window actually slides); k=2 exercises the generic
+# (k+1) paths; N=512 matches the production tile geometry (HALF=4).
+B8L4_SETS = [
+    _dc.replace(TOY, name="toy_b8l4_k1", n=8, N=256, k=1,
+                bg_bits=8, levels=4),
+    _dc.replace(TOY, name="toy_b8l4_k2", n=8, N=256, k=2,
+                bg_bits=8, levels=4),
+    _dc.replace(TOY, name="toy_b8l4_k1_n512", n=8, N=512, k=1,
+                bg_bits=8, levels=4),
+]
+
+
+@pytest.mark.parametrize("params", B8L4_SETS,
+                         ids=[q.name for q in B8L4_SETS])
+def test_mega15_blind_rotate_bitexact(params):
+    from herdsman_tpu.ops.server_key import layouts_for_engine
+
+    rng = np.random.default_rng(41)
+    ck, sk = ref.keygen(params, rng)
+    dsk = device_server_key(sk, layouts=layouts_for_engine("pallas_mega15"))
+    ct = rand_u32(rng, 3, params.n + 1)
+    tp = bs.make_test_poly(params)
+    got = np.asarray(bs.blind_rotate_batch(
+        dsk, jnp.asarray(ct), tp, engine="pallas_mega15", unroll=True))
+    for i in range(3):
+        expect = ref.blind_rotate(sk, ct[i], np.asarray(tp))
+        np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
+
+
+def test_mega15_full_bootstrap_decrypts():
+    params = B8L4_SETS[2]
+    rng = np.random.default_rng(43)
+    ck, sk = ref.keygen(params, rng)
+    dsk = device_server_key(sk, layouts=("bsk_btT4",))
+    bits = np.array([True, False, True, True])
+    ct = ref.encrypt_bool(ck, bits, rng)
+    acc = bs.blind_rotate_batch(dsk, jnp.asarray(ct),
+                                bs.make_test_poly(params),
+                                engine="pallas_mega15", unroll=True)
+    raw = bs.sample_extract_batch(params, acc)
+    got = np.asarray(bs.key_switch_batch(dsk, raw))
+    for i in range(len(bits)):
+        expect = ref.bootstrap_bool(sk, ct[i])
+        np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
+        assert ref.lwe_decrypt_bool(ck, got[i]) == bits[i]
+
+
 def test_k2_full_bootstrap_decrypts():
     rng = np.random.default_rng(22)
     ck, sk = ref.keygen(MULTITILE_K2, rng)
