@@ -1295,8 +1295,182 @@ def mega15_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
     return jnp.transpose(out_T, (2, 0, 1))
 
 
+def _mega16_kernel(a_ref, acc0_ref, btTs_ref, out_ref, acc_sc, *,
+                   p: TFHEParams, P: int, HALF: int, G: int,
+                   ablate: str = ""):
+    """mega-v16: l=2 bitcast stream with ADJACENT-pair packing and a
+    single-width key (the digit-window form of the flagship class).
+
+    mega13 packs coefficient pairs (r, r + N/2) per u32, which forces the
+    sliding-window (2.5x extended) key: a halves-pair stream's negacyclic
+    wrap boundary interleaves within each 4-byte sublane group, so the
+    tile shift cannot move to the digit side.  Packing ADJACENT pairs
+    (2r', 2r'+1) instead puts the wrap at the single contiguous sublane
+    κ = 2(N - ct*P), so each tile is mega15's two-dot wrap-split
+
+        out[ct*P + q] = key[:, :2(N-ct*P)] . D[2*ct*P:]
+                      - key[:, 2(N-ct*P):] . D[:2*ct*P]
+
+    over the SAME [C4P, 2N] single-width key — identical MACs and digits
+    to mega13 (bit-exactness enforced per-engine), 2.5x less key HBM, and
+    the only flagship-class kernel whose key fits the N=2048 tier
+    (6.44 GiB at STD128_SHORTINT_FAST; measured A/B in BENCH_LOG r4)."""
+    i = pl.program_id(1)
+    Bt = acc_sc.shape[3]
+    kp1 = p.k + 1
+    W = p.bg_bits * p.levels  # = 16
+    KP = kp1 * P
+    KEXT = 2 * p.N
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(G):
+            acc_sc[g] = acc0_ref[:, :, g * Bt:(g + 1) * Bt]
+
+    def compute_stream(g):
+        if ablate == "nodigits":
+            return jnp.ones((kp1, 2 * p.N, Bt), dtype=I8)
+        r_amt = a_ref[0, 0, g * Bt:(g + 1) * Bt].astype(U32)
+        v = acc_sc[g]                                # [k+1, N, Bt]
+        rolled = v
+        nbits = 1 if ablate == "rot1" else p.log2_2N
+        for bit in range(nbits):
+            s = 1 << bit
+            if s < p.N:
+                top = rolled[:, p.N - s:, :]
+                shifted = jnp.concatenate(
+                    [jnp.zeros_like(top) - top, rolled[:, : p.N - s, :]],
+                    axis=1,
+                )
+            else:
+                shifted = jnp.zeros_like(rolled) - rolled
+            take_bit = (r_amt >> U32(bit)) & U32(1)
+            mask = (U32(0) - take_bit)[None, None, :]
+            rolled = jnp.where(
+                jnp.broadcast_to(mask, rolled.shape) != U32(0),
+                shifted, rolled)
+        diff = rolled - v
+        half = 1 << (p.bg_bits - 1)
+        offset = sum(half << (p.bg_bits * t) for t in range(p.levels))
+        val = ((diff + U32(1 << (32 - W - 1))) >> U32(32 - W)) + U32(offset)
+        pairs = val.reshape(kp1, p.N // 2, 2, Bt)    # adjacent coeffs
+        lo = pairs[:, :, 0, :] & U32(0xFFFF)
+        hi = pairs[:, :, 1, :] << U32(16)
+        packed = (lo | hi) ^ U32(0x80808080)         # [k+1, N/2, Bt]
+        return pltpu.bitcast(packed, jnp.int8)       # [k+1, 2N, Bt]
+
+    def do_dot(D, ct):
+        split = 2 * (p.N - ct * P)  # wrap boundary in stream sublanes
+        total = None
+        for c in range(kp1):
+            part = jnp.dot(btTs_ref[0, c, :, :split],
+                           D[c][KEXT - split:],
+                           preferred_element_type=I32)
+            if ct > 0:
+                part = part - jnp.dot(btTs_ref[0, c, :, split:],
+                                      D[c][: KEXT - split],
+                                      preferred_element_type=I32)
+            total = part if total is None else total + part
+        return total                                  # [C4P, Bt] i32
+
+    def combine_into(g, ct, total):
+        a = total.astype(U32)                         # rows (j, c, q)
+        comb = (
+            a[0:KP]
+            + (a[KP:2 * KP] << U32(8))
+            + (a[2 * KP:3 * KP] << U32(16))
+            + (a[3 * KP:4 * KP] << U32(24))
+        )
+        for c in range(kp1):
+            acc_sc[g, c, ct * P:(ct + 1) * P, :] = (
+                acc_sc[g, c, ct * P:(ct + 1) * P, :]
+                + comb[c * P:(c + 1) * P]
+            )
+
+    def do_dots(g, D):
+        prev = None
+        tiles = 1 if ablate == "onedot" else HALF
+        for ct in range(tiles):
+            total = do_dot(D, ct)
+            if prev is not None:
+                combine_into(g, prev[0], prev[1])
+            prev = (ct, total)
+        combine_into(g, prev[0], prev[1])
+
+    D = compute_stream(0)
+    for g in range(G):
+        D_next = compute_stream(g + 1) if g + 1 < G else None
+        do_dots(g, D)
+        D = D_next
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        for g in range(G):
+            out_ref[:, :, g * Bt:(g + 1) * Bt] = acc_sc[g]
+
+
+def mega16_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
+                        bsk_btTs: jax.Array) -> jax.Array:
+    """Same contract as mega13, consuming the single-width l=2
+    ``bsk_btTs`` layout."""
+    import os
+    p = params
+    P, HALF = bt_tile(p)
+    assert p.bg_bits == 8 and p.levels == 2, \
+        "mega16 needs byte-aligned digits (bg_bits=8, levels=2)"
+    assert p.N % 2 == 0, "mega16 needs even N (adjacent-pair packing)"
+    B = acc0.shape[0]
+    bt_env = int(os.environ.get("HERDSMAN_MEGA_BT", "128"))
+    Bt = B if B <= bt_env else (bt_env if B % bt_env == 0 else 128)
+    assert B % Bt == 0, "pad batch to a multiple of 128 first"
+    BC = B // Bt
+    C4P = (p.k + 1) * 4 * P
+    KEXT = 2 * p.N
+    acc_bytes = (p.k + 1) * Bt * p.N * 4
+    g_env = os.environ.get("HERDSMAN_MEGA_G")
+    G = int(g_env) if g_env else max(1, min(BC, (13 << 20) // acc_bytes))
+    while BC % G:
+        G -= 1
+    BO = BC // G
+
+    kwargs = {}
+    if jax.default_backend() == "tpu":
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(os.environ.get("HERDSMAN_MEGA_VMEM",
+                                                100 * 1024 * 1024)),
+        )
+    ablate = _ablate_knob()
+    acc0_T = jnp.transpose(acc0, (1, 2, 0))          # [k+1, N, B]
+    out_T = pl.pallas_call(
+        functools.partial(_mega16_kernel, p=p, P=P, HALF=HALF, G=G,
+                          ablate=ablate),
+        grid=(BO, p.n),
+        in_specs=[
+            pl.BlockSpec((1, 1, G * Bt), lambda bo, i: (i, 0, bo),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p.k + 1, p.N, G * Bt), lambda bo, i: (0, 0, bo),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p.k + 1, C4P, KEXT),
+                         lambda bo, i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((p.k + 1, p.N, G * Bt),
+                               lambda bo, i: (0, 0, bo),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p.k + 1, p.N, B), U32),
+        scratch_shapes=[
+            pltpu.VMEM((G, p.k + 1, p.N, Bt), U32),   # group acc
+        ],
+        interpret=jax.default_backend() != "tpu",
+        **kwargs,
+    )(a_t.reshape(p.n, 1, B), acc0_T, bsk_btTs)
+    return jnp.transpose(out_T, (2, 0, 1))
+
+
 def _register() -> None:
     bs.ROTATION_ENGINES = getattr(bs, "ROTATION_ENGINES", {})
+    bs.ROTATION_ENGINES.setdefault("pallas_mega16",
+                                   (mega16_blind_rotate, "bsk_btTs"))
     bs.ROTATION_ENGINES.setdefault("pallas_mega15",
                                    (mega15_blind_rotate, "bsk_btT4"))
     bs.ROTATION_ENGINES.setdefault("pallas_mega7",

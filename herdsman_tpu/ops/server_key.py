@@ -78,6 +78,7 @@ class DeviceServerKey:
     bsk_btT: Any = None    # i8 [n, k+1, C4P, KEXT] transposed (mega13)
     bsk_btT2: Any = None   # i8 [n, C4P, KEXT] pt-major transposed (mega14)
     bsk_btT4: Any = None   # i8 [n, k+1, C4P, 4N] l=4 single-width (mega15)
+    bsk_btTs: Any = None   # i8 [n, k+1, C4P, 2N] l=2 single-width (mega16)
 
     @property
     def R(self) -> int:
@@ -171,6 +172,10 @@ def device_server_key(
     if "bsk_btT4" in layouts:
         bsk_btT4 = _btT4_layout_device(p, ext)
 
+    bsk_btTs = None
+    if "bsk_btTs" in layouts:
+        bsk_btTs = _btTs_layout_device(p, ext)
+
     ksk = sk.ksk  # [kN, t, n+1] u32
     ksk_limbs = _np_i8_limbs(ksk).reshape(p.kN * p.ks_levels, (p.n + 1) * 4)
 
@@ -188,6 +193,7 @@ def device_server_key(
         bsk_btT=bsk_btT,
         bsk_btT2=bsk_btT2,
         bsk_btT4=bsk_btT4,
+        bsk_btTs=bsk_btTs,
     )
 
 
@@ -351,6 +357,77 @@ def _btT4_jit(p: TFHEParams, n: int, R: int, kp1: int, twoN: int):
     return jax.jit(lambda a: jax.lax.map(one, a))
 
 
+def _btTs_layout_device(p: TFHEParams, ext: np.ndarray) -> jax.Array:
+    """mega16's l=2 SINGLE-WIDTH transposed key: [n, k+1, C4P, 2N] i8.
+
+    The l=2 byte-aligned gadget with ADJACENT-pair packing (coefficients
+    2r', 2r'+1 share a u32, unlike mega13's (r, r+N/2) halves-pairing):
+    adjacency makes the negacyclic wrap boundary a single contiguous
+    sublane split, so the output-tile shift moves to the digit stream
+    (mega15's wrap-split dots) and the key needs NO sliding-window
+    extension — 2.5x smaller than ``bsk_btT`` (3.62 vs 9.06 GiB at
+    STD128_K2) and the first flagship-class layout that FITS the N=2048
+    tier (6.44 GiB at STD128_SHORTINT_FAST vs 18.5 GiB for the extended
+    form, over HBM).
+
+    With the flat column index κ = 2z + lb (z = 2w' + (b//2) the stream
+    coefficient offset, lb = b%2 the byte-within-value):
+
+        keyT[i, c_in, (j, c_out, q), κ] =
+            limb_j( ext[i, c_in*levels + (1 - lb), c_out]
+                    [ (q - z) mod 2N ] )
+
+    — same flat-interleave Toeplitz build as ``bsk_btT4`` at 2-fold (not
+    4-fold) interleave: T[u*2+lb] = poly_row(1-lb)[P-1-u], row tile q =
+    the contiguous slice starting at (P-1-q)*2 of length 2N."""
+    n, R, kp1, twoN = ext.shape
+    assert p.bg_bits == 8 and p.levels == 2, \
+        "bsk_btTs needs byte-aligned digits (bg_bits=8, levels=2)"
+    assert p.N % 2 == 0, "bsk_btTs needs even N (adjacent-pair packing)"
+    return _btTs_jit(p, n, R, kp1, twoN)(jnp.asarray(ext))
+
+
+@functools.lru_cache(maxsize=8)
+def _btTs_jit(p: TFHEParams, n: int, R: int, kp1: int, twoN: int):
+    P, HALF = bt_tile(p)
+    KEXT = 2 * p.N
+    U = p.N + P - 1
+    shifts = jnp.asarray([0, 8, 16, 24], dtype=jnp.uint32)
+    row_sel = [jnp.asarray([c * p.levels + (p.levels - 1 - lb)
+                            for c in range(kp1)]) for lb in range(2)]
+
+    def one(e: jax.Array) -> jax.Array:  # e [R, kp1, 2N] u32
+        u32 = e + jnp.uint32(0x80808080)
+        limbs = (((u32[None] >> shifts[:, None, None, None])
+                  & jnp.uint32(0xFF)).astype(jnp.int32) - 128).astype(
+            jnp.int8)  # [4(j), R, kp1, 2N]
+        red = jnp.concatenate([limbs, limbs, limbs], axis=-1)[..., ::-1]
+        planes = []
+        for lb in range(2):
+            sel = jnp.take(red, row_sel[lb], axis=1)  # [4, ci, co, 6N]
+            planes.append(jax.lax.slice_in_dim(
+                sel, twoN - P, twoN - P + U, axis=-1))
+        q_flat = jnp.stack(planes, axis=-1).reshape(4, kp1, kp1, U * 2)
+        rows_q = jnp.stack(
+            [jax.lax.slice_in_dim(q_flat, (P - 1 - q) * 2,
+                                  (P - 1 - q) * 2 + KEXT, axis=-1)
+             for q in range(P)],
+            axis=3,
+        )  # [4(j), ci, co, P(q), 2N]
+        t = jnp.transpose(rows_q, (1, 0, 2, 3, 4))  # [ci, j, co, q, 2N]
+        return t.reshape(kp1, 4 * kp1 * P, KEXT)
+
+    C = int(os.environ.get("HERDSMAN_BTT_CHUNK", "4"))
+    while n % C:
+        C //= 2
+    if C > 1:
+        f = jax.vmap(one)
+        return jax.jit(lambda a: jax.lax.map(
+            f, a.reshape(n // C, C, R, kp1, twoN)).reshape(
+                n, kp1, 4 * kp1 * P, KEXT))
+    return jax.jit(lambda a: jax.lax.map(one, a))
+
+
 def _btT_layout_device_ref(p: TFHEParams, ext: np.ndarray,
                            pt_major: bool = False) -> jax.Array:
     """mega13's TRANSPOSED windowed key: [n, k+1(c_in), C4P, KEXT] i8.
@@ -439,6 +516,8 @@ def layouts_for_engine(engine: str) -> tuple[str, ...]:
         return ("bsk_btT2",)
     if engine == "pallas_mega15":
         return ("bsk_btT4",)
+    if engine == "pallas_mega16":
+        return ("bsk_btTs",)
     if engine == "pallas_mega11":
         return ("bsk_btj2j",)
     if engine == "pallas_mega12":
@@ -481,6 +560,17 @@ def fit_engine(engine: str, params: TFHEParams,
                      * PT_EXT * P * 4)
         if (params.bg_bits == 8 and params.levels == 2
                 and params.N >= 2 * P and btT_bytes <= hbm_budget_bytes):
+            return engine
+        return ("pallas_mega11" if btj2_bytes <= hbm_budget_bytes
+                else "pallas_mega12")
+    if engine == "pallas_mega16":
+        # l=2 single-width key: n*(k+1)^2*4P*2N bytes — 2.5x smaller than
+        # mega13's extended bsk_btT; serves both the K2 flagship and the
+        # N=2048 byte-aligned (shortint_fast) tier
+        btTs_bytes = (params.n * (params.k + 1) * (params.k + 1) * 4
+                      * P * 2 * params.N)
+        if (params.bg_bits == 8 and params.levels == 2
+                and params.N % 2 == 0 and btTs_bytes <= hbm_budget_bytes):
             return engine
         return ("pallas_mega11" if btj2_bytes <= hbm_budget_bytes
                 else "pallas_mega12")

@@ -454,7 +454,7 @@ B8L2_SETS = [
 ]
 
 
-T_ENGINES = ["pallas_mega13", "pallas_mega14"]
+T_ENGINES = ["pallas_mega13", "pallas_mega14", "pallas_mega16"]
 
 
 @pytest.mark.parametrize("engine", T_ENGINES)
