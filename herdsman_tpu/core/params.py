@@ -214,11 +214,17 @@ STD128_SHORTINT = TFHEParams(
 )
 
 # Throughput variant of the shortint set: Bg = 2^8, l = 2 (like STD128_FAST)
-# at N = 2048. The coarser gadget raises decomposition noise ~2 bits over
-# STD128_SHORTINT's ~45-sigma slot margin — still far above the failure
-# threshold (empirical margin measured by `bench.py --metric shortint`) —
-# while cutting external-product MACs and the block-Toeplitz key (9.7 GiB ->
-# 6.4 GiB, R = 6 -> 4) by a third.
+# at N = 2048 — cuts external-product MACs and the key (R = 6 -> 4) by a
+# third; measured +45% bool-bootstrap rate over the l=3 set (mega12), +5.9%
+# more with mega16's single-width key (BENCH_LOG round 4).
+#
+# BOOL-GATE TIER ONLY. Round-4 hardware measurement: the 2+2-bit shortint
+# stack FAILS at these params — `bench.py --metric shortint --params
+# std128_shortint_fast` decrypts WRONG (slot-phase std 8.27e-3 q = 1.9
+# sigma to the half-slot boundary; the l=2 decomposition noise at this
+# glwe_std swamps the packed-bivariate budget, far below the naive
+# "~2 bits off 45 sigma" estimate this comment used to carry). The
+# shortint/radix layer stays on STD128_SHORTINT (l=3).
 STD128_SHORTINT_FAST = TFHEParams(
     name="std128_shortint_fast",
     n=768,

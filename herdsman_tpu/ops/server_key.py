@@ -552,15 +552,22 @@ def fit_engine(engine: str, params: TFHEParams,
                   * P * (params.k + 1) * 4 * P)
     if engine in ("pallas_mega13", "pallas_mega14"):
         # transposed key: n * (k+1) * C4P * KEXT bytes, and the engine
-        # needs byte-aligned digits + pair packing; at params it cannot
-        # serve, prefer mega11 (the previous headline) when its doubled
-        # key fits, else the single-width mega12
+        # needs byte-aligned digits + pair packing; when the extended key
+        # cannot serve, prefer mega16 (same kernel class, single-width
+        # key — e.g. the N=2048 shortint_fast tier, where it measured
+        # +5.9% over mega12, BENCH_LOG r4), then mega11's doubled key,
+        # else the single-width mega12
         PT_EXT = params.N // (2 * P) + HALF - 1
         btT_bytes = (params.n * (params.k + 1) * 4 * (params.k + 1) * P
                      * PT_EXT * P * 4)
         if (params.bg_bits == 8 and params.levels == 2
                 and params.N >= 2 * P and btT_bytes <= hbm_budget_bytes):
             return engine
+        btTs_bytes = (params.n * (params.k + 1) * (params.k + 1) * 4
+                      * P * 2 * params.N)
+        if (params.bg_bits == 8 and params.levels == 2
+                and params.N % 2 == 0 and btTs_bytes <= hbm_budget_bytes):
+            return "pallas_mega16"
         return ("pallas_mega11" if btj2_bytes <= hbm_budget_bytes
                 else "pallas_mega12")
     if engine == "pallas_mega16":

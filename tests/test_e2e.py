@@ -371,6 +371,21 @@ def test_fit_engine_hbm_guard():
     assert fit_engine("pallas_mega8", k2) == "pallas_mega8"
     # non-windowed engines pass through untouched
     assert fit_engine("conv_i8", shortint) == "conv_i8"
+    # round-4 transposed family: the flagship serves K2 directly; at the
+    # byte-aligned N=2048 tier its extended key (~18.5 GiB) cannot, but
+    # mega16's single-width key (6.44 GiB) can (measured +5.9% over
+    # mega12 there, BENCH_LOG r4); the l=3 tier stays on mega12
+    fast = PARAM_SETS["std128_shortint_fast"]
+    assert fit_engine("pallas_mega13", k2) == "pallas_mega13"
+    assert fit_engine("pallas_mega13", fast) == "pallas_mega16"
+    assert fit_engine("pallas_mega13", shortint) == "pallas_mega12"
+    assert fit_engine("pallas_mega16", fast) == "pallas_mega16"
+    assert fit_engine("pallas_mega16", shortint) == "pallas_mega12"
+    # mega15 (l=4 probe) only serves its own geometry
+    l4 = PARAM_SETS["std128_shortint_l4"]
+    assert fit_engine("pallas_mega15", l4, hbm_budget_bytes=13 << 30) \
+        == "pallas_mega15"
+    assert fit_engine("pallas_mega15", shortint) == "pallas_mega12"
 
 
 def test_glwe_intermediate_frames(tmp_path):
