@@ -232,7 +232,10 @@ def test_pin_survives_eviction_pressure(tmp_path):
                 return [("authorization", "Bearer " + self._token)]
 
             def add_callback(self, cb):
+                # real grpc returns True when the callback is registered
+                # (False = rpc already terminated, never invoked)
                 self.callbacks.append(cb)
+                return True
 
         tok0 = coord.auth.create_token(user_id=0)
         tok1 = coord.auth.create_token(user_id=1)
@@ -264,6 +267,18 @@ def test_pin_survives_eviction_pressure(tmp_path):
         pin.idle_since -= guard.PIN_IDLE_TTL_S + 1
         guard.token(ctx_a2)  # now allowed — pin expired, re-pinned user 1
         assert guard._pins["ipv4:10.0.0.1:1111"].user_id == 1
+
+        # add_callback returning False (rpc already terminated: grpc never
+        # invokes the callback) must release the pin immediately — else
+        # its inflight count leaks and it becomes exempt from TTL expiry
+        # forever (ADVICE r3)
+        class DeadCtx(Ctx):
+            def add_callback(self, cb):
+                return False
+
+        ctx_d = DeadCtx("ipv4:10.0.0.9:9999", tok0)
+        guard.token(ctx_d)
+        assert guard._pins["ipv4:10.0.0.9:9999"].inflight == 0
     finally:
         coord.shutdown()
 
