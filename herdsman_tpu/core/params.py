@@ -56,6 +56,13 @@ class TFHEParams:
     # Documented security estimate for the set (informational)
     security_bits: int = 0
 
+    # Hardware-measured restriction: the set's noise budget supports only
+    # single-bit (bool gate) payloads — the PBS integer layers (shortint/
+    # radix slot encodings) decrypt WRONG at these params and refuse them
+    # (e.g. STD128_SHORTINT_FAST: 1.9 sigma to the half-slot boundary,
+    # docs/BENCH_LOG.md round 4)
+    bool_only: bool = False
+
     @property
     def q_bits(self) -> int:
         return 32
@@ -224,7 +231,8 @@ STD128_SHORTINT = TFHEParams(
 # sigma to the half-slot boundary; the l=2 decomposition noise at this
 # glwe_std swamps the packed-bivariate budget, far below the naive
 # "~2 bits off 45 sigma" estimate this comment used to carry). The
-# shortint/radix layer stays on STD128_SHORTINT (l=3).
+# shortint/radix layer stays on STD128_SHORTINT (l=3); ShortContext
+# refuses bool_only sets.
 STD128_SHORTINT_FAST = TFHEParams(
     name="std128_shortint_fast",
     n=768,
@@ -237,6 +245,7 @@ STD128_SHORTINT_FAST = TFHEParams(
     ks_base_bits=3,
     ks_levels=5,
     security_bits=128,
+    bool_only=True,  # measured: shortint margins fail (1.9 sigma, r4)
 )
 
 # MXU-economics variant: same lattice dimension kN = 1024 (so the same

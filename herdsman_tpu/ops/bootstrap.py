@@ -90,7 +90,8 @@ def _register_pallas_engine(engine: str = "") -> None:
     from herdsman_tpu.ops.pallas import blind_rotate as _  # noqa: F401
     from herdsman_tpu.ops.pallas import mega as _mega  # noqa: F401
 
-    if engine and engine not in ROTATION_ENGINES and engine not in STEP_ENGINES:
+    if (engine and engine not in ROTATION_ENGINES
+            and engine not in STEP_ENGINES and engine not in ENGINES):
         # superseded engines (mega1-6, 9, 10) live in the archive module —
         # loaded only when explicitly requested (round-4; VERDICT r3 #5)
         from herdsman_tpu.ops.pallas import legacy as _legacy  # noqa: F401

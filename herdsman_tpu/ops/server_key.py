@@ -238,7 +238,7 @@ def _btT_layout_device(p: TFHEParams, ext: np.ndarray,
     x = jnp.asarray(ext)
     # C=4 balances compile size vs per-step overhead (68.7 s cold compile
     # vs C=16's 101.7 s; execution is ~1 s either way)
-    C = int(os.environ.get("HERDSMAN_BTT_CHUNK", "4"))
+    C = max(1, int(os.environ.get("HERDSMAN_BTT_CHUNK", "4")))
     while n % C:
         C //= 2
     # NB: the final [n//C, C, ...] -> [n, ...] reshape must live INSIDE
@@ -311,11 +311,14 @@ def _btT4_layout_device(p: TFHEParams, ext: np.ndarray) -> jax.Array:
     P, HALF = bt_tile(p)
     assert p.bg_bits == 8 and p.levels == 4, \
         "bsk_btT4 needs the byte-aligned l=4 gadget (bg_bits=8, levels=4)"
-    return _btT4_jit(p, n, R, kp1, twoN)(jnp.asarray(ext))
+    C = max(1, int(os.environ.get("HERDSMAN_BTT_CHUNK", "4")))
+    while n % C:
+        C //= 2
+    return _btT4_jit(p, n, R, kp1, twoN, C)(jnp.asarray(ext))
 
 
 @functools.lru_cache(maxsize=8)
-def _btT4_jit(p: TFHEParams, n: int, R: int, kp1: int, twoN: int):
+def _btT4_jit(p: TFHEParams, n: int, R: int, kp1: int, twoN: int, C: int):
     P, HALF = bt_tile(p)
     KEXT = 4 * p.N
     U = p.N + P - 1
@@ -346,9 +349,6 @@ def _btT4_jit(p: TFHEParams, n: int, R: int, kp1: int, twoN: int):
         t = jnp.transpose(rows_q, (1, 0, 2, 3, 4))  # [ci, j, co, q, 4N]
         return t.reshape(kp1, 4 * kp1 * P, KEXT)
 
-    C = int(os.environ.get("HERDSMAN_BTT_CHUNK", "4"))
-    while n % C:
-        C //= 2
     if C > 1:
         f = jax.vmap(one)
         return jax.jit(lambda a: jax.lax.map(
@@ -384,11 +384,14 @@ def _btTs_layout_device(p: TFHEParams, ext: np.ndarray) -> jax.Array:
     assert p.bg_bits == 8 and p.levels == 2, \
         "bsk_btTs needs byte-aligned digits (bg_bits=8, levels=2)"
     assert p.N % 2 == 0, "bsk_btTs needs even N (adjacent-pair packing)"
-    return _btTs_jit(p, n, R, kp1, twoN)(jnp.asarray(ext))
+    C = max(1, int(os.environ.get("HERDSMAN_BTT_CHUNK", "4")))
+    while n % C:
+        C //= 2
+    return _btTs_jit(p, n, R, kp1, twoN, C)(jnp.asarray(ext))
 
 
 @functools.lru_cache(maxsize=8)
-def _btTs_jit(p: TFHEParams, n: int, R: int, kp1: int, twoN: int):
+def _btTs_jit(p: TFHEParams, n: int, R: int, kp1: int, twoN: int, C: int):
     P, HALF = bt_tile(p)
     KEXT = 2 * p.N
     U = p.N + P - 1
@@ -417,9 +420,6 @@ def _btTs_jit(p: TFHEParams, n: int, R: int, kp1: int, twoN: int):
         t = jnp.transpose(rows_q, (1, 0, 2, 3, 4))  # [ci, j, co, q, 2N]
         return t.reshape(kp1, 4 * kp1 * P, KEXT)
 
-    C = int(os.environ.get("HERDSMAN_BTT_CHUNK", "4"))
-    while n % C:
-        C //= 2
     if C > 1:
         f = jax.vmap(one)
         return jax.jit(lambda a: jax.lax.map(

@@ -133,8 +133,12 @@ class Coordinator:
         # session -> (resolved engine name, DeviceServerKey)
         self._session_dsk: dict[str, tuple[str, object]] = {}
         # lazy worker group: GrpcWorkerGroup (workers.grpc) or
-        # OffloadWorkerGroup (workers.lambda)
+        # OffloadWorkerGroup (workers.lambda); creation is locked — with
+        # concurrent_jobs > 1 two executor threads could otherwise both
+        # build a group and leak the loser's channels
         self._offload_group = None
+        import threading as _threading
+        self._offload_group_lock = _threading.Lock()
         self.execution.set_runner(self._run_job)
 
     # ---- auth (reference src/controller/auth_controller.cpp) ----
@@ -456,19 +460,21 @@ class Coordinator:
             # of proto tasks over herdsman.Worker/{map,reduce}
             from herdsman_tpu.service.grpc_worker import GrpcWorkerGroup
             from herdsman_tpu.service.offload import OffloadJobRunner
-            if self._offload_group is None:
-                self._offload_group = GrpcWorkerGroup(
-                    self.config.grpc_workers.addresses)
+            with self._offload_group_lock:
+                if self._offload_group is None:
+                    self._offload_group = GrpcWorkerGroup(
+                        self.config.grpc_workers.addresses)
             return OffloadJobRunner(self.storage, self._offload_group)(job)
         if self.config.lambda_workers is not None:
             # elastic CPU-offload dispatch (the reference's
             # build_worker_group lambda branch, src/main.cpp:67-84)
             from herdsman_tpu.service.offload import (OffloadJobRunner,
                                                       OffloadWorkerGroup)
-            if self._offload_group is None:
-                lw = self.config.lambda_workers
-                self._offload_group = OffloadWorkerGroup(
-                    lw.address, lw.concurrency_limit, self.storage)
+            with self._offload_group_lock:
+                if self._offload_group is None:
+                    lw = self.config.lambda_workers
+                    self._offload_group = OffloadWorkerGroup(
+                        lw.address, lw.concurrency_limit, self.storage)
             return OffloadJobRunner(self.storage, self._offload_group)(job)
         engine, dsk = self._device_key(job.session_uuid)
         pk = None

@@ -64,6 +64,11 @@ class GrpcWorkerGroup:
     grpc_worker_group.cpp:13-110).  Interface-compatible with
     OffloadWorkerGroup so OffloadJobRunner drives either flavor."""
 
+    # RPC deadline: below the runner's 300 s task deadline so a hung
+    # worker surfaces as DEADLINE_EXCEEDED -> TIME_OUT retry instead of
+    # leaking the RPC (and a worker executor thread) forever
+    RPC_TIMEOUT_S = 240.0
+
     def __init__(self, addresses: list[str]):
         if not addresses:
             raise ValueError("workers.grpc needs at least one address")
@@ -103,7 +108,8 @@ class GrpcWorkerGroup:
             self._rr = (self._rr + 1) % len(self._channels)
         stub = (self._map_stubs if isinstance(task, MapTask)
                 else self._reduce_stubs)[worker]
-        fut = stub.future(mappers.task_to_proto(task))
+        fut = stub.future(mappers.task_to_proto(task),
+                          timeout=self.RPC_TIMEOUT_S)
 
         def done(f) -> None:
             code = f.code()
@@ -140,25 +146,28 @@ def make_worker_server(storage_dir: str, key_dir: str, port: int = 0,
     state = {"failed": 0}
     state_lock = threading.Lock()
 
-    def _run(task_model, context):
+    def _run(to_model, request, context):
         with state_lock:
             state["tasks"] = state.get("tasks", 0) + 1
             if state["failed"] < fail_first:
                 state["failed"] += 1
                 context.abort(grpc.StatusCode.UNAVAILABLE,
                               "injected failure")
+        # conversion runs INSIDE the INTERNAL boundary: a malformed task
+        # (MappingError) is deterministic and must be terminal, not a
+        # retryable TIME_OUT
         try:
-            eng.run_task(task_to_wire(task_model))
+            eng.run_task(task_to_wire(to_model(request)))
         except Exception as e:  # noqa: BLE001 — worker rpc boundary
             log.exception("task failed")
             context.abort(grpc.StatusCode.INTERNAL, str(e))
         return pb.Empty()
 
     def do_map(request, context):
-        return _run(mappers.map_task_to_model(request), context)
+        return _run(mappers.map_task_to_model, request, context)
 
     def do_reduce(request, context):
-        return _run(mappers.reduce_task_to_model(request), context)
+        return _run(mappers.reduce_task_to_model, request, context)
 
     handlers = {
         "map": grpc.unary_unary_rpc_method_handler(

@@ -120,9 +120,16 @@ class _Engine:
             out = np.asarray(rows)
         out_dir = self.storage / session / task["output"]["uuid"]
         out_dir.mkdir(parents=True, exist_ok=True)
-        # write-then-rename so the watcher never sees a partial file
+        # write-then-rename so the watcher never sees a partial file; the
+        # tmp name is unique per process+task so a retried task running
+        # concurrently with a hung original (two workers, same output)
+        # cannot interleave writes into one tmp file — last rename wins
+        # atomically with a complete payload either way
+        import os as _os
+        import uuid as _uuid
         final = out_dir / str(task["output"]["partition"])
-        tmp = final.with_name(final.name + ".tmp")
+        tmp = final.with_name(
+            f"{final.name}.{_os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp")
         tmp.write_bytes(
             rowcodec.frame_rows(frame_codec.rows_to_payloads(out)))
         tmp.replace(final)

@@ -36,6 +36,12 @@ class ShortContext:
                  carry_bits: int = 2, engine: str = "conv_i8",
                  seed: int = 0, keys=None, dsk=None,
                  many_lut: bool | None = None, mesh=None):
+        if params.bool_only:
+            raise ValueError(
+                f"{params.name} is a bool-gate-only parameter set: its "
+                "noise budget does not support shortint slot encodings "
+                "(hardware-measured decrypt failure, docs/BENCH_LOG.md "
+                "round 4); use std128_shortint instead")
         self.params = params
         # multi-chip: a jax.sharding.Mesh shards every PBS batch over all
         # mesh devices (mesh.pbs_batch_sharded) — the whole shortint/radix
