@@ -488,28 +488,37 @@ def bench_bootstrap(args) -> None:
         c = run_candle()
         log(f"standard candle: {c['value']} TMAC/s "
             f"({c['vs_anchor']:.2f}x the round-3 anchor session)")
-        # second leg round after the candle (~1 min later): in-process
-        # throughput drifts with 20%+ leg spread, so a later window is
-        # often the fastest; legs cost ~1 s each — always re-run.  The
-        # re-run is decrypt-gated like every other timed path.
+        # Additional leg rounds until converged: sessions RAMP — fresh
+        # sessions measured 30% slow in their first minutes and improved
+        # monotonically (300 -> 257 ms across ~1 min; 284 -> 224 across
+        # an A/B run, docs/BENCH_LOG.md round 4), and the candle does NOT
+        # track this (1.04x anchor during a 300 ms phase).  Legs cost
+        # ~1 s each, so ride the ramp: re-run rounds ~20 s apart and stop
+        # when the best stops improving.  Decrypt-gated like every other
+        # timed path.
         try:
-            best2, chained2, src2 = None, None, src
-            for leg in range(LEGS):
-                src2 = (2 + leg) % len(cts)
-                t0 = time.time()
-                chained2 = np.asarray(chain_k(dsk, cts[src2], K))
-                leg_t = (time.time() - t0) / K
-                if best2 is None or leg_t < best2:
-                    best2 = leg_t
-            bad2 = int((ref.lwe_decrypt_bool(ck, chained2)
-                        != all_bits[src2]).sum())
-            log(f"post-candle best: {best2 * 1e3:.1f} ms/batch "
-                f"(decrypt bad={bad2})")
-            if best2 < dt and bad2 == 0:
-                dt = best2
-                rate = args.batch / dt
-                log(f"=> headline from post-candle round: "
-                    f"{rate:.1f} bootstraps/s/chip")
+            for rnd in range(4):
+                time.sleep(20)
+                best2, chained2, src2 = None, None, src
+                for leg in range(LEGS):
+                    src2 = (2 + leg) % len(cts)
+                    t0 = time.time()
+                    chained2 = np.asarray(chain_k(dsk, cts[src2], K))
+                    leg_t = (time.time() - t0) / K
+                    if best2 is None or leg_t < best2:
+                        best2 = leg_t
+                bad2 = int((ref.lwe_decrypt_bool(ck, chained2)
+                            != all_bits[src2]).sum())
+                log(f"round {rnd + 2} best: {best2 * 1e3:.1f} ms/batch "
+                    f"(decrypt bad={bad2})")
+                improved = best2 < dt * 0.99
+                if best2 < dt and bad2 == 0:
+                    dt = best2
+                    rate = args.batch / dt
+                if not improved:
+                    break
+            log(f"converged best: {dt * 1e3:.1f} ms/batch "
+                f"=> {rate:.1f} bootstraps/s/chip")
         except Exception:  # noqa: BLE001
             pass
     except Exception as e:  # noqa: BLE001 — gauge only, never fatal
