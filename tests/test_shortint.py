@@ -59,3 +59,17 @@ def test_mixed_expression(sctx):
     b = sctx.encrypt(bv)
     r = (a * b) + a.scalar_mul(2)
     assert sctx.decrypt(r) == [(x * y + 2 * x) % 4 for x, y in zip(av, bv)]
+
+
+def test_bool_only_params_rejected():
+    """STD128_SHORTINT_FAST is hardware-measured decrypt-WRONG for the
+    shortint slot encoding (1.9 sigma to the half-slot boundary,
+    docs/BENCH_LOG.md round 4): ShortContext must refuse bool-only sets
+    rather than silently corrupt."""
+    import pytest
+
+    from herdsman_tpu.core.params import STD128_SHORTINT_FAST
+    from herdsman_tpu.shortint import ShortContext
+
+    with pytest.raises(ValueError, match="bool-gate-only"):
+        ShortContext(STD128_SHORTINT_FAST)
