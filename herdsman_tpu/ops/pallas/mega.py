@@ -821,7 +821,7 @@ def _mega13_kernel(a_ref, acc0_ref, btT_ref, out_ref, acc_sc, *,
             acc_sc[g] = acc0_ref[:, :, g * Bt:(g + 1) * Bt]
 
     def compute_digits(g, st):
-        if ablate == "nodigits":
+        if ablate in ("nodigits", "dotsonly"):
             return jnp.ones((kp1, 4 * (p.N // 2), Bt), dtype=I8)
         r_amt = a_ref[st, 0, g * Bt:(g + 1) * Bt].astype(U32)
         v = acc_sc[g]                                # [k+1, N, Bt]
@@ -865,6 +865,13 @@ def _mega13_kernel(a_ref, acc0_ref, btT_ref, out_ref, acc_sc, *,
 
     def combine_into(g, ct, total):
         a = total.astype(U32)                         # rows (j, c, q)
+        if ablate in ("nocombine", "dotsonly"):
+            # probe: keep the dots live (the write consumes them) but skip
+            # the limb-recombine shift/add chain — prices the combine's
+            # non-overlapped share; outputs are INVALID
+            for c in range(kp1):
+                acc_sc[g, c, ct * P:(ct + 1) * P, :] = a[c * P:(c + 1) * P]
+            return
         comb = (
             a[0:KP]
             + (a[KP:2 * KP] << U32(8))
