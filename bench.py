@@ -529,7 +529,9 @@ def bench_bootstrap(args) -> None:
     log(f"roofline ({sol['device']}, int8): "
         f"{sol['roofline_bootstraps_per_sec']:.0f} bootstraps/s "
         f"=> {100 * rate / sol['roofline_bootstraps_per_sec']:.1f}% of "
-        "speed-of-light")
+        "nameplate speed-of-light, "
+        f"{100 * rate / sol['practical_dot_ceiling_bootstraps_per_sec']:.1f}%"
+        " of the measured practical dot ceiling (BENCH_LOG r4 ablations)")
 
     print(json.dumps({
         "metric": "tfhe_gate_bootstraps_per_sec_per_chip",

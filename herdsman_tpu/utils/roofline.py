@@ -61,6 +61,13 @@ def speed_of_light(p: TFHEParams, batch: int,
         "compute_bound_bootstraps_per_sec": batch / compute_s,
         "memory_bound_bootstraps_per_sec": batch / memory_s,
         "roofline_bootstraps_per_sec": batch / bound,
+        # Hardware-measured PRACTICAL dot ceiling: the mega13 dots-only
+        # ablation sustains ~72% of the nameplate int8 rate through the
+        # K-chained i8-accumulation dataflow (212.0 ms vs the 150.9 ms
+        # nameplate floor at B=2048/STD128_K2; every non-dot cost measured
+        # <= 3.5+5.3 ms — docs/BENCH_LOG.md round 4).  Utilization against
+        # this ceiling is what kernel work can actually recover.
+        "practical_dot_ceiling_bootstraps_per_sec": batch / bound * 0.712,
     }
 
 
