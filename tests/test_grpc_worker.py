@@ -231,6 +231,56 @@ def test_grpc_fleet_worker_error_is_terminal(tmp_path):
         stop_all(coord, servers)
 
 
+def test_hung_worker_times_out_as_retryable(tmp_path, monkeypatch):
+    """A worker that never answers must surface as DEADLINE_EXCEEDED ->
+    TIME_OUT (retryable) instead of leaking the RPC forever (round-4
+    review finding: the dispatch now carries an RPC deadline)."""
+    import threading
+    import time as _time
+
+    import grpc as _grpc
+
+    from herdsman_tpu.service.grpc_worker import GrpcWorkerGroup, pb
+    from herdsman_tpu.service.offload import TaskKey, TaskStatus
+
+    # a Worker server whose map handler just sleeps
+    from concurrent.futures import ThreadPoolExecutor
+
+    release = threading.Event()
+
+    def hang(request, context):
+        release.wait(10)
+        return pb.Empty()
+
+    server = _grpc.server(ThreadPoolExecutor(max_workers=1))
+    server.add_generic_rpc_handlers((
+        _grpc.method_handlers_generic_handler("herdsman.Worker", {
+            "map": _grpc.unary_unary_rpc_method_handler(
+                hang,
+                request_deserializer=pb.MapTaskProto.FromString,
+                response_serializer=pb.Empty.SerializeToString),
+        }),
+    ))
+    port = server.add_insecure_port("127.0.0.1:0")
+    server.start()
+    monkeypatch.setattr(GrpcWorkerGroup, "RPC_TIMEOUT_S", 0.5)
+    group = GrpcWorkerGroup([f"127.0.0.1:{port}"])
+    try:
+        key = TaskKey("s", "j", 0, 0)
+        task = MapTask("s", InputDataFramePtr("f", 0, 1),
+                       DataFramePtr("o", 0), CryptoKeyPtr(SchemaType.TFHE_BOOL),
+                       map_circuit())
+        t0 = _time.monotonic()
+        handle = group.schedule_task(key, task)
+        status = handle.wait(5)
+        assert status is TaskStatus.TIME_OUT
+        assert _time.monotonic() - t0 < 3  # the deadline fired, not the hang
+    finally:
+        release.set()
+        group.shutdown()
+        server.stop(grace=None)
+
+
 @pytest.mark.parametrize("kind", ["map", "reduce"])
 def test_task_proto_round_trip(kind):
     """MapTask/ReduceTask -> proto -> model is identity (the dto_mappers
