@@ -792,7 +792,7 @@ def mega12_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
 
 def _mega13_kernel(a_ref, acc0_ref, btT_ref, out_ref, acc_sc, *,
                    p: TFHEParams, P: int, HALF: int, PT: int, G: int,
-                   S: int = 1, ablate: str = ""):
+                   S: int = 1, ablate: str = "", order: str = "g"):
     """mega-v13: TRANSPOSED accumulator + bitcast digit stream.
 
     The accumulator lives as [k+1, N(sublanes), Bt(lanes)] — the layout
@@ -895,11 +895,28 @@ def _mega13_kernel(a_ref, acc0_ref, btT_ref, out_ref, acc_sc, *,
         combine_into(g, prev[0], prev[1])
 
     for st in range(S):
-        D = compute_digits(0, st)
-        for g in range(G):
-            D_next = compute_digits(g + 1, st) if g + 1 < G else None
-            do_dots(g, D, st)
-            D = D_next
+        if order == "ct":
+            # ct-OUTER order (HERDSMAN_MEGA_ORDER=ct, round-4 probe): all
+            # G group dots sharing one key slice run back-to-back
+            # (weight-stationary MXU) — targets the measured dot-section
+            # residual; all digit streams are computed upfront (~3.5 ms,
+            # G * [k+1, 2N, Bt] i8 = ~13 MB VMEM at G=16).  Bit-exact:
+            # each (g, ct) writes a distinct acc slice.
+            Ds = [compute_digits(g, st) for g in range(G)]
+            prev = None
+            for ct in range(1 if ablate == "onedot" else HALF):
+                for g in range(G):
+                    total = do_dot(Ds[g], ct, st)
+                    if prev is not None:
+                        combine_into(prev[0], prev[1], prev[2])
+                    prev = (g, ct, total)
+            combine_into(prev[0], prev[1], prev[2])
+        else:
+            D = compute_digits(0, st)
+            for g in range(G):
+                D_next = compute_digits(g + 1, st) if g + 1 < G else None
+                do_dots(g, D, st)
+                D = D_next
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _():
@@ -952,7 +969,8 @@ def mega13_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
     acc0_T = jnp.transpose(acc0, (1, 2, 0))          # [k+1, N, B]
     out_T = pl.pallas_call(
         functools.partial(_mega13_kernel, p=p, P=P, HALF=HALF, PT=PT, G=G,
-                          S=S, ablate=ablate),
+                          S=S, ablate=ablate,
+                          order=os.environ.get("HERDSMAN_MEGA_ORDER", "g")),
         grid=(BO, p.n // S),
         in_specs=[
             pl.BlockSpec((S, 1, G * Bt), lambda bo, i: (i, 0, bo),

@@ -53,7 +53,8 @@ def main() -> None:
     for spec in args.engines.split(","):
         engine, _, kv = spec.partition(":")
         env = dict(item.split("=") for item in kv.split(";") if item)
-        for knob in ("STEPS", "BT", "G", "ABLATE", "DEFER", "EXTRACT"):
+        for knob in ("STEPS", "BT", "G", "ABLATE", "DEFER", "EXTRACT",
+                     "ORDER"):
             os.environ.pop("HERDSMAN_MEGA_" + knob, None)
         for k, v in env.items():
             os.environ["HERDSMAN_MEGA_" + k] = v
