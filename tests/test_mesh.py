@@ -118,6 +118,32 @@ def test_sharded_dp_mega13_bit_identical():
     np.testing.assert_array_equal(sharded, single)
 
 
+def test_sharded_dp_mega16_bit_identical():
+    """mega16 (l=2 adjacent-pair, single-width key — the N=2048-tier
+    winner, BENCH_LOG r4) DP-sharded == single-device, bit-identical;
+    shard_server_key must carry the bsk_btTs layout."""
+    import dataclasses as dc
+
+    from herdsman_tpu.ops.server_key import layouts_for_engine
+
+    p = dc.replace(TOY, name="toy_b8l2_mesh16", n=8, N=256, k=2,
+                   bg_bits=8, levels=2)
+    rng = np.random.default_rng(43)
+    ck, sk = ref.keygen(p, rng)
+    mesh = make_mesh(batch=8, limb=1)
+    dsk = device_server_key(sk, layouts=layouts_for_engine("pallas_mega16"))
+    dsk_sharded = shard_server_key(dsk, mesh)
+    B = 8
+    bits = rng.integers(0, 2, B).astype(bool)
+    ct = jnp.asarray(ref.encrypt_bool(ck, bits, rng))
+    single = np.asarray(
+        bs.bootstrap_bool_batch(dsk, ct, engine="pallas_mega16", unroll=True))
+    sharded = np.asarray(bootstrap_bool_sharded(
+        dsk_sharded, mesh, ct, engine="pallas_mega16", unroll=True))
+    np.testing.assert_array_equal(sharded, single)
+    assert (ref.lwe_decrypt_bool(ck, single) == bits).all()
+
+
 def test_plan_compiler_on_mesh_bit_identical(toy_keys):
     """BASELINE config 4: a multi-stage plan (map + reduce) executed with
     rows sharded over the mesh batch axis produces byte-identical frames
