@@ -66,7 +66,11 @@ def speed_of_light(p: TFHEParams, batch: int,
         # K-chained i8-accumulation dataflow (212.0 ms vs the 150.9 ms
         # nameplate floor at B=2048/STD128_K2; every non-dot cost measured
         # <= 3.5+5.3 ms — docs/BENCH_LOG.md round 4).  Utilization against
-        # this ceiling is what kernel work can actually recover.
+        # this ceiling is what kernel work can actually recover.  NOTE the
+        # 0.712 factor is the STD128_K2 geometry's (WIN=1024 contraction);
+        # dot efficiency RISES with window length — the N=2048 tier
+        # (WIN=4096) measured 84.5% of nameplate end-to-end, so readings
+        # >100% at large-N geometries are expected and fine.
         "practical_dot_ceiling_bootstraps_per_sec": batch / bound * 0.712,
     }
 
