@@ -497,7 +497,8 @@ def bench_bootstrap(args) -> None:
         # when the best stops improving.  Decrypt-gated like every other
         # timed path.
         try:
-            for rnd in range(4):
+            stale = 0
+            for rnd in range(6):
                 time.sleep(20)
                 best2, chained2, src2 = None, None, src
                 for leg in range(LEGS):
@@ -515,7 +516,10 @@ def bench_bootstrap(args) -> None:
                 if best2 < dt and bad2 == 0:
                     dt = best2
                     rate = args.batch / dt
-                if not improved:
+                # patience 2: a single regressed round must not end the
+                # search — degraded sessions recover on ~minute scales
+                stale = 0 if improved else stale + 1
+                if stale >= 2:
                     break
             log(f"converged best: {dt * 1e3:.1f} ms/batch "
                 f"=> {rate:.1f} bootstraps/s/chip")
