@@ -307,7 +307,21 @@ def bench_scaling(args) -> None:
         lambda c: bs.bootstrap_bool_batch(dsk, c, engine=args.engine), B1)
     log(f"1 device: {rate1:.1f} bootstraps/s (exact={ok1})")
     if ndev == 1:
-        eff, rate_n, ok_n = 1.0, rate1, ok1
+        # scaling efficiency is UNMEASURABLE on one chip — refuse to emit
+        # a number that reads like a measurement (VERDICT r4 #7); the
+        # multi-device sharded path's correctness is covered by
+        # tests/test_mesh.py and __graft_entry__.dryrun_multichip
+        log("single device: DP scaling efficiency not measurable; "
+            "rerun on a multi-chip slice")
+        print(json.dumps({
+            "metric": "dp_scaling_efficiency",
+            "value": None,
+            "unit": "fraction of linear",
+            "vs_baseline": 0.0,
+            "skipped": f"1 device ({rate1:.0f} bootstraps/s single-chip; "
+                       "efficiency needs >= 2 chips)",
+        }))
+        return
     else:
         mesh = make_mesh(batch=ndev, limb=1)
         dsk_sh = shard_server_key(dsk, mesh)
@@ -451,20 +465,35 @@ def bench_bootstrap(args) -> None:
     # vs the same build's 9135.4).  Run LEGS independent fused-chain legs,
     # each a K-deep dependent chain ending in a host fetch, and report the
     # BEST leg; log every leg so the spread is on record.
-    src = 1
+    # EVERY timed leg is decrypt-gated and only clean legs can be adopted
+    # as the official time — the fastest-of-many value must never come
+    # from an unchecked (or failed) output (round-4 advisor finding)
     LEGS = max(3, int(os.environ.get("HERDSMAN_BENCH_LEGS", "5")))
+    n_bad_c = 0
+
+    def timed_leg(src: int) -> tuple[float, int]:
+        """One K-deep fused chain: (s/batch, decrypt mismatches)."""
+        t0 = time.time()
+        out = np.asarray(chain_k(dsk, cts[src], K))
+        leg_t = (time.time() - t0) / K
+        bad = int((ref.lwe_decrypt_bool(ck, out) != all_bits[src]).sum())
+        return leg_t, bad
+
     try:
-        chained = np.asarray(chain_k(dsk, cts[1], K))  # compile + run once
-        leg_times = []
-        for leg in range(LEGS):
-            src = (2 + leg) % len(cts)
-            t0 = time.time()
-            chained = np.asarray(chain_k(dsk, cts[src], K))
-            leg_times.append((time.time() - t0) / K)
-        log("legs: " + ", ".join(f"{t * 1e3:.1f}" for t in leg_times)
-            + " ms/chain (best-of, spread "
-            f"{100 * (max(leg_times) / min(leg_times) - 1):.1f}%)")
-        dt = min(leg_times)
+        np.asarray(chain_k(dsk, cts[1], K))  # compile + run once
+        legs = [timed_leg((2 + leg) % len(cts)) for leg in range(LEGS)]
+        leg_times = [t for t, _ in legs]
+        log("legs: " + ", ".join(
+            f"{t * 1e3:.1f}" + ("!" if bad else "") for t, bad in legs)
+            + " ms/chain (best-of clean, spread "
+            f"{100 * (max(leg_times) / min(leg_times) - 1):.1f}%; "
+            "! = decrypt failed)")
+        clean = [t for t, bad in legs if bad == 0]
+        if clean:
+            dt = min(clean)
+        else:
+            dt = min(leg_times)
+            n_bad_c = max(bad for _, bad in legs)
     except Exception as e:  # noqa: BLE001 — keep the host-chain fallback
         log(f"fused chain failed ({type(e).__name__}: {e}); "
             "falling back to host-driven chaining")
@@ -473,14 +502,14 @@ def bench_bootstrap(args) -> None:
         chained = cts[src]
         for _ in range(K):
             chained = fn(chained)
-        np.asarray(chained)
+        out = np.asarray(chained)
         dt = (time.time() - t0) / K
-    # decrypt-gate the chained result too (sign bootstrap preserves bools)
-    got_c = ref.lwe_decrypt_bool(ck, np.asarray(chained))
-    n_bad_c = int((got_c != all_bits[src]).sum())
+        n_bad_c = int((ref.lwe_decrypt_bool(ck, out)
+                       != all_bits[src]).sum())
     rate = args.batch / dt
     log(f"chained x{K}: {dt * 1e3:.1f} ms/bootstrap-batch of {args.batch} "
-        f"=> {rate:.1f} bootstraps/s/chip (chain decrypt bad={n_bad_c})")
+        f"=> {rate:.1f} bootstraps/s/chip "
+        f"(adopted-leg decrypt bad={n_bad_c})")
 
     try:  # session-throughput gauge (scripts/standard_candle.py)
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -500,22 +529,22 @@ def bench_bootstrap(args) -> None:
             stale = 0
             for rnd in range(6):
                 time.sleep(20)
-                best2, chained2, src2 = None, None, src
-                for leg in range(LEGS):
-                    src2 = (2 + leg) % len(cts)
-                    t0 = time.time()
-                    chained2 = np.asarray(chain_k(dsk, cts[src2], K))
-                    leg_t = (time.time() - t0) / K
-                    if best2 is None or leg_t < best2:
-                        best2 = leg_t
-                bad2 = int((ref.lwe_decrypt_bool(ck, chained2)
-                            != all_bits[src2]).sum())
+                # per-leg decrypt gates: only a CLEAN leg may improve the
+                # official time (round-4 advisor finding)
+                rl = [timed_leg((2 + leg) % len(cts))
+                      for leg in range(LEGS)]
+                best2 = min(t for t, _ in rl)
+                best_clean = min((t for t, bad in rl if bad == 0),
+                                 default=None)
                 log(f"round {rnd + 2} best: {best2 * 1e3:.1f} ms/batch "
-                    f"(decrypt bad={bad2})")
+                    f"(clean best: "
+                    + (f"{best_clean * 1e3:.1f}" if best_clean else "none")
+                    + ")")
                 improved = best2 < dt * 0.99
-                if best2 < dt and bad2 == 0:
-                    dt = best2
+                if best_clean is not None and (best_clean < dt or n_bad_c):
+                    dt = best_clean
                     rate = args.batch / dt
+                    n_bad_c = 0
                 # patience 2: a single regressed round must not end the
                 # search — degraded sessions recover on ~minute scales
                 stale = 0 if improved else stale + 1
@@ -537,11 +566,16 @@ def bench_bootstrap(args) -> None:
         f"{100 * rate / sol['practical_dot_ceiling_bootstraps_per_sec']:.1f}%"
         " of the measured practical dot ceiling (BENCH_LOG r4 ablations)")
 
+    if n_bad_c:
+        log(f"DECRYPT GATE FAILED on the adopted leg ({n_bad_c} bad bits) "
+            "— reporting vs_baseline=0")
     print(json.dumps({
         "metric": "tfhe_gate_bootstraps_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "bootstraps/s/chip",
-        "vs_baseline": round(rate / PER_CHIP_PARITY, 3),
+        "vs_baseline": (round(rate / PER_CHIP_PARITY, 3)
+                        if n_bad_c == 0 else 0.0),
+        "decrypt_ok": n_bad_c == 0,
     }))
 
 

@@ -92,15 +92,23 @@ def _enable_compile_cache() -> None:
     persistent compilation cache turns every later session's prep into
     seconds (measured 3.2 s warm vs 68.7 s cold through the axon tunnel,
     scripts/probe_btT_prep.py).  Respects an explicit
-    JAX_COMPILATION_CACHE_DIR; disable with HERDSMAN_NO_COMPILE_CACHE=1."""
+    JAX_COMPILATION_CACHE_DIR; disable with HERDSMAN_NO_COMPILE_CACHE=1.
+    Default location is PER-USER (~/.cache/herdsman/jax, uid-suffixed /tmp
+    fallback) — a world-shared fixed /tmp path could be pre-created or
+    poisoned by another local user (round-4 advisor finding)."""
     if os.environ.get("HERDSMAN_NO_COMPILE_CACHE"):
         return
     try:
         if not jax.config.jax_compilation_cache_dir:
+            default = os.path.join(
+                os.path.expanduser("~"), ".cache", "herdsman", "jax")
+            try:
+                os.makedirs(default, exist_ok=True)
+            except OSError:
+                default = f"/tmp/herdsman_jax_cache_{os.getuid()}"
             jax.config.update(
                 "jax_compilation_cache_dir",
-                os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               "/tmp/herdsman_jax_cache"))
+                os.environ.get("JAX_COMPILATION_CACHE_DIR", default))
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     except Exception:  # noqa: BLE001 — cache is an optimization only
         pass

@@ -132,11 +132,15 @@ class GrpcWorkerGroup:
 
 def make_worker_server(storage_dir: str, key_dir: str, port: int = 0,
                        engine: str = "conv_i8", fail_first: int = 0,
-                       max_workers: int = 4) -> tuple[grpc.Server, int]:
+                       max_workers: int = 4,
+                       host: str = "127.0.0.1") -> tuple[grpc.Server, int]:
     """The hived analog: a gRPC server for Worker::{map,reduce} over the
     shared storage/key namespace.  `fail_first` aborts the first N tasks
     with UNAVAILABLE (doing no work) to exercise the TIME_OUT retry path.
-    Returns (server, bound_port); caller starts/stops."""
+    Returns (server, bound_port); caller starts/stops.  `host` defaults to
+    loopback (channels are insecure); pass 0.0.0.0 explicitly for a
+    multi-host fleet over a shared filesystem (round-4 advisor
+    finding)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from herdsman_tpu.service.offload import task_to_wire
@@ -189,7 +193,7 @@ def make_worker_server(storage_dir: str, key_dir: str, port: int = 0,
     server.add_generic_rpc_handlers((
         grpc.method_handlers_generic_handler("herdsman.Worker", handlers),
     ))
-    bound = server.add_insecure_port(f"127.0.0.1:{port}")
+    bound = server.add_insecure_port(f"{host}:{port}")
     server.task_counts = state  # tests assert round-robin placement
     return server, bound
 
@@ -200,12 +204,15 @@ def main() -> None:
     ap.add_argument("--keys", required=True)
     ap.add_argument("--port", type=int, default=8095)
     ap.add_argument("--engine", default="conv_i8")
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address (0.0.0.0 for multi-host fleets; "
+                         "default loopback — channels are insecure)")
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
     server, port = make_worker_server(args.storage, args.keys, args.port,
-                                      args.engine)
+                                      args.engine, host=args.host)
     server.start()
-    log.info("grpc worker on port %d", port)
+    log.info("grpc worker on %s:%d", args.host, port)
     server.wait_for_termination()
 
 

@@ -130,9 +130,14 @@ class _Engine:
         final = out_dir / str(task["output"]["partition"])
         tmp = final.with_name(
             f"{final.name}.{_os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp")
-        tmp.write_bytes(
-            rowcodec.frame_rows(frame_codec.rows_to_payloads(out)))
-        tmp.replace(final)
+        try:
+            tmp.write_bytes(
+                rowcodec.frame_rows(frame_codec.rows_to_payloads(out)))
+            tmp.replace(final)
+        finally:
+            # a crash/abort between write and replace must not leave the
+            # unique-named tmp accumulating (round-4 advisor finding)
+            tmp.unlink(missing_ok=True)
 
 
 def make_server(storage_dir: str, key_dir: str, port: int = 0,

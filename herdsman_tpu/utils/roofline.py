@@ -47,6 +47,41 @@ def bootstrap_cost(p: TFHEParams) -> BootstrapCost:
     return BootstrapCost(ep_macs, ks_macs, float(bt_bytes))
 
 
+# Hardware-measured practical dot-efficiency anchors, keyed by the
+# flagship-class contraction window length WIN = 2N (the single-width
+# bsk_btTs/btT key's K dimension):
+#  - WIN=1024 (STD128_K2): mega13 dots-only ablation sustains 71.2% of the
+#    nameplate int8 rate (212.0 ms vs the 150.9 ms nameplate floor at
+#    B=2048; every non-dot cost measured <= 3.5+5.3 ms — BENCH_LOG r4).
+#  - WIN=4096 (N=2048 tier): mega16 measured 84.5% of nameplate
+#    END-TO-END (1614.1/s, BENCH_LOG r4) — a lower bound on its dot
+#    efficiency.
+# Between/beyond the anchors the factor is log2(WIN)-linear interpolated
+# and clamped; dot efficiency rises monotonically with contraction length
+# on the MXU (measured both ways, VERDICT r4 #3).
+_DOT_EFF_ANCHORS = ((1024, 0.712), (4096, 0.845))
+
+
+def practical_dot_efficiency(p: TFHEParams) -> tuple[float, int, str]:
+    """(efficiency factor, window length, basis) for the flagship-class
+    dot section at this geometry.  basis says whether the factor is a
+    direct measurement at this window or an interpolation/extrapolation —
+    bench prints it so ceiling readings are never silently cross-applied
+    between geometries (round-4 advisor finding)."""
+    import math
+
+    win = 2 * p.N
+    (w0, f0), (w1, f1) = _DOT_EFF_ANCHORS
+    if win == w0 or win == w1:
+        return (f0 if win == w0 else f1), win, "measured at this window"
+    t = (math.log2(win) - math.log2(w0)) / (math.log2(w1) - math.log2(w0))
+    f = f0 + t * (f1 - f0)
+    f = min(0.95, max(0.60, f))
+    basis = ("interpolated between measured windows" if 0 <= t <= 1
+             else "extrapolated beyond measured windows")
+    return f, win, basis
+
+
 def speed_of_light(p: TFHEParams, batch: int,
                    dev: DeviceSpec = V5E) -> dict:
     """Theoretical ceilings for bootstraps/sec/chip at the given batch."""
@@ -54,6 +89,7 @@ def speed_of_light(p: TFHEParams, batch: int,
     compute_s = batch * c.total_macs() * 2 / (dev.int8_tops * 1e12)
     memory_s = c.hbm_bytes_per_batch / (dev.hbm_gbps * 1e9)
     bound = max(compute_s, memory_s)
+    eff, win, basis = practical_dot_efficiency(p)
     return {
         "device": dev.name,
         "macs_per_bootstrap": c.total_macs(),
@@ -61,17 +97,12 @@ def speed_of_light(p: TFHEParams, batch: int,
         "compute_bound_bootstraps_per_sec": batch / compute_s,
         "memory_bound_bootstraps_per_sec": batch / memory_s,
         "roofline_bootstraps_per_sec": batch / bound,
-        # Hardware-measured PRACTICAL dot ceiling: the mega13 dots-only
-        # ablation sustains ~72% of the nameplate int8 rate through the
-        # K-chained i8-accumulation dataflow (212.0 ms vs the 150.9 ms
-        # nameplate floor at B=2048/STD128_K2; every non-dot cost measured
-        # <= 3.5+5.3 ms — docs/BENCH_LOG.md round 4).  Utilization against
-        # this ceiling is what kernel work can actually recover.  NOTE the
-        # 0.712 factor is the STD128_K2 geometry's (WIN=1024 contraction);
-        # dot efficiency RISES with window length — the N=2048 tier
-        # (WIN=4096) measured 84.5% of nameplate end-to-end, so readings
-        # >100% at large-N geometries are expected and fine.
-        "practical_dot_ceiling_bootstraps_per_sec": batch / bound * 0.712,
+        # Hardware-measured PRACTICAL dot ceiling (what kernel work can
+        # actually recover), scaled by the geometry's contraction window —
+        # see _DOT_EFF_ANCHORS.
+        "practical_dot_ceiling_bootstraps_per_sec": batch / bound * eff,
+        "practical_dot_ceiling_window": win,
+        "practical_dot_ceiling_basis": basis,
     }
 
 
