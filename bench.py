@@ -389,6 +389,7 @@ def main() -> None:
     # through the previous headline engines before the slow-but-sturdy one
     chain = {"pallas_mega13": "pallas_mega11", "pallas_mega11":
              "pallas_mega8", "pallas_mega8": "pallas_fused",
+             "pallas_mega17": "pallas_mega12",
              "pallas_mega12": "pallas_mega7", "pallas_mega7": "pallas_fused"}
     while True:
         try:

@@ -1492,8 +1492,205 @@ def mega16_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
     return jnp.transpose(out_T, (2, 0, 1))
 
 
+def _mega17_kernel(a_ref, acc0_ref, btT3_ref, out_ref, acc_sc, *,
+                   p: TFHEParams, P: int, HALF: int, G: int,
+                   ablate: str = ""):
+    """mega-v17: the byte-aligned l=3 gadget in the flagship (bitcast
+    stream + single-width key) kernel class — the integer tier's
+    kernel-class upgrade (VERDICT r4 #1).
+
+    bg=2^8, levels=3 gives W=24: each coefficient's val holds THREE digit
+    bytes, so four coefficients' 12 digits pack exactly into three u32s
+    (3-of-4 packing — zero wasted bytes, zero wasted MACs, unlike a
+    one-coeff-per-u32 layout whose fourth zero byte would burn 33% more
+    MXU work).  From val quads (q0..q3, 24-bit values):
+
+        w0 = q0         | q1 << 24      (bytes: z0d0 z0d1 z0d2 z1d0)
+        w1 = q1 >> 8    | q2 << 16      (bytes: z1d1 z1d2 z2d0 z2d1)
+        w2 = q2 >> 16   | q3 << 8       (bytes: z2d2 z3d0 z3d1 z3d2)
+
+    then ^0x80808080 (sx sign-extend) and one bitcast yields the byte
+    stream s = 3z + lb (coefficient-major, LSB digit first) — the same
+    collapse of the shift-extract decompose that mega13/16 bought the
+    bool tier (+45%/+5.9%, BENCH_LOG r3/r4).  Adjacent-coefficient order
+    keeps the negacyclic wrap a single sublane split at 3*(N - ct*P), so
+    each output tile is mega16's wrap-split two-dot
+
+        out[ct*P + q] = key[:, :3(N-ct*P)] . D[3*ct*P:]
+                      - key[:, 3(N-ct*P):] . D[:3*ct*P]
+
+    over the single-width [C4P, 3N] ``bsk_btT3`` key — identical digits
+    and MAC count (R = 6) to mega12@bg=2^7 l=3, bit-exactness enforced
+    per-engine in tests/test_ops_bitexact.py."""
+    i = pl.program_id(1)
+    Bt = acc_sc.shape[3]
+    kp1 = p.k + 1
+    W = p.bg_bits * p.levels  # = 24
+    KP = kp1 * P
+    KEXT = 3 * p.N
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(G):
+            acc_sc[g] = acc0_ref[:, :, g * Bt:(g + 1) * Bt]
+
+    def compute_stream(g):
+        if ablate in ("nodigits", "dotsonly"):
+            return jnp.ones((kp1, 3 * p.N, Bt), dtype=I8)
+        r_amt = a_ref[0, 0, g * Bt:(g + 1) * Bt].astype(U32)
+        v = acc_sc[g]                                # [k+1, N, Bt]
+        rolled = v
+        nbits = 1 if ablate == "rot1" else p.log2_2N
+        for bit in range(nbits):
+            s = 1 << bit
+            if s < p.N:
+                top = rolled[:, p.N - s:, :]
+                shifted = jnp.concatenate(
+                    [jnp.zeros_like(top) - top, rolled[:, : p.N - s, :]],
+                    axis=1,
+                )
+            else:
+                shifted = jnp.zeros_like(rolled) - rolled
+            take_bit = (r_amt >> U32(bit)) & U32(1)
+            mask = (U32(0) - take_bit)[None, None, :]
+            rolled = jnp.where(
+                jnp.broadcast_to(mask, rolled.shape) != U32(0),
+                shifted, rolled)
+        diff = rolled - v
+        half = 1 << (p.bg_bits - 1)
+        offset = sum(half << (p.bg_bits * t) for t in range(p.levels))
+        val = ((diff + U32(1 << (32 - W - 1))) >> U32(32 - W)) + U32(offset)
+        # the offset add can carry past bit W-1 (val up to ~1.5*2^24);
+        # the carry is outside the digit bytes and must not leak into the
+        # OR-packed neighbor's byte (mega16's &0xFFFF did this implicitly)
+        val = val & U32(0xFFFFFF)
+        quads = val.reshape(kp1, p.N // 4, 4, Bt)    # adjacent coeffs
+        q0, q1 = quads[:, :, 0, :], quads[:, :, 1, :]
+        q2, q3 = quads[:, :, 2, :], quads[:, :, 3, :]
+        w0 = q0 | (q1 << U32(24))
+        w1 = (q1 >> U32(8)) | (q2 << U32(16))
+        w2 = (q2 >> U32(16)) | (q3 << U32(8))
+        packed = jnp.stack([w0, w1, w2], axis=2)     # [k+1, N/4, 3, Bt]
+        packed = (packed.reshape(kp1, 3 * p.N // 4, Bt)
+                  ^ U32(0x80808080))
+        return pltpu.bitcast(packed, jnp.int8)       # [k+1, 3N, Bt]
+
+    def do_dot(D, ct):
+        split = 3 * (p.N - ct * P)  # wrap boundary in stream sublanes
+        total = None
+        for c in range(kp1):
+            part = jnp.dot(btT3_ref[0, c, :, :split],
+                           D[c][KEXT - split:],
+                           preferred_element_type=I32)
+            if ct > 0:
+                part = part - jnp.dot(btT3_ref[0, c, :, split:],
+                                      D[c][: KEXT - split],
+                                      preferred_element_type=I32)
+            total = part if total is None else total + part
+        return total                                  # [C4P, Bt] i32
+
+    def combine_into(g, ct, total):
+        a = total.astype(U32)                         # rows (j, c, q)
+        if ablate in ("nocombine", "dotsonly"):
+            for c in range(kp1):
+                acc_sc[g, c, ct * P:(ct + 1) * P, :] = a[c * P:(c + 1) * P]
+            return
+        comb = (
+            a[0:KP]
+            + (a[KP:2 * KP] << U32(8))
+            + (a[2 * KP:3 * KP] << U32(16))
+            + (a[3 * KP:4 * KP] << U32(24))
+        )
+        for c in range(kp1):
+            acc_sc[g, c, ct * P:(ct + 1) * P, :] = (
+                acc_sc[g, c, ct * P:(ct + 1) * P, :]
+                + comb[c * P:(c + 1) * P]
+            )
+
+    def do_dots(g, D):
+        prev = None
+        tiles = 1 if ablate == "onedot" else HALF
+        for ct in range(tiles):
+            total = do_dot(D, ct)
+            if prev is not None:
+                combine_into(g, prev[0], prev[1])
+            prev = (ct, total)
+        combine_into(g, prev[0], prev[1])
+
+    D = compute_stream(0)
+    for g in range(G):
+        D_next = compute_stream(g + 1) if g + 1 < G else None
+        do_dots(g, D)
+        D = D_next
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        for g in range(G):
+            out_ref[:, :, g * Bt:(g + 1) * Bt] = acc_sc[g]
+
+
+def mega17_blind_rotate(params: TFHEParams, acc0: jax.Array, a_t: jax.Array,
+                        bsk_btT3: jax.Array) -> jax.Array:
+    """Same contract as mega13/16, consuming the single-width l=3
+    ``bsk_btT3`` layout."""
+    import os
+    p = params
+    P, HALF = bt_tile(p)
+    assert p.bg_bits == 8 and p.levels == 3, \
+        "mega17 needs the byte-aligned l=3 gadget (bg_bits=8, levels=3)"
+    assert p.N % 4 == 0, "mega17 needs N % 4 == 0 (3-of-4 packing)"
+    B = acc0.shape[0]
+    bt_env = int(os.environ.get("HERDSMAN_MEGA_BT", "128"))
+    Bt = B if B <= bt_env else (bt_env if B % bt_env == 0 else 128)
+    assert B % Bt == 0, "pad batch to a multiple of 128 first"
+    BC = B // Bt
+    C4P = (p.k + 1) * 4 * P
+    KEXT = 3 * p.N
+    acc_bytes = (p.k + 1) * Bt * p.N * 4
+    g_env = os.environ.get("HERDSMAN_MEGA_G")
+    G = int(g_env) if g_env else max(1, min(BC, (13 << 20) // acc_bytes))
+    while BC % G:
+        G -= 1
+    BO = BC // G
+
+    kwargs = {}
+    if jax.default_backend() == "tpu":
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(os.environ.get("HERDSMAN_MEGA_VMEM",
+                                                100 * 1024 * 1024)),
+        )
+    ablate = _ablate_knob()
+    acc0_T = jnp.transpose(acc0, (1, 2, 0))          # [k+1, N, B]
+    out_T = pl.pallas_call(
+        functools.partial(_mega17_kernel, p=p, P=P, HALF=HALF, G=G,
+                          ablate=ablate),
+        grid=(BO, p.n),
+        in_specs=[
+            pl.BlockSpec((1, 1, G * Bt), lambda bo, i: (i, 0, bo),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p.k + 1, p.N, G * Bt), lambda bo, i: (0, 0, bo),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p.k + 1, C4P, KEXT),
+                         lambda bo, i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((p.k + 1, p.N, G * Bt),
+                               lambda bo, i: (0, 0, bo),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p.k + 1, p.N, B), U32),
+        scratch_shapes=[
+            pltpu.VMEM((G, p.k + 1, p.N, Bt), U32),   # group acc
+        ],
+        interpret=jax.default_backend() != "tpu",
+        **kwargs,
+    )(a_t.reshape(p.n, 1, B), acc0_T, bsk_btT3)
+    return jnp.transpose(out_T, (2, 0, 1))
+
+
 def _register() -> None:
     bs.ROTATION_ENGINES = getattr(bs, "ROTATION_ENGINES", {})
+    bs.ROTATION_ENGINES.setdefault("pallas_mega17",
+                                   (mega17_blind_rotate, "bsk_btT3"))
     bs.ROTATION_ENGINES.setdefault("pallas_mega16",
                                    (mega16_blind_rotate, "bsk_btTs"))
     bs.ROTATION_ENGINES.setdefault("pallas_mega15",

@@ -79,6 +79,7 @@ class DeviceServerKey:
     bsk_btT2: Any = None   # i8 [n, C4P, KEXT] pt-major transposed (mega14)
     bsk_btT4: Any = None   # i8 [n, k+1, C4P, 4N] l=4 single-width (mega15)
     bsk_btTs: Any = None   # i8 [n, k+1, C4P, 2N] l=2 single-width (mega16)
+    bsk_btT3: Any = None   # i8 [n, k+1, C4P, 3N] l=3 single-width (mega17)
 
     @property
     def R(self) -> int:
@@ -184,6 +185,10 @@ def device_server_key(
     if "bsk_btTs" in layouts:
         bsk_btTs = _btTs_layout_device(p, ext)
 
+    bsk_btT3 = None
+    if "bsk_btT3" in layouts:
+        bsk_btT3 = _btT3_layout_device(p, ext)
+
     ksk = sk.ksk  # [kN, t, n+1] u32
     ksk_limbs = _np_i8_limbs(ksk).reshape(p.kN * p.ks_levels, (p.n + 1) * 4)
 
@@ -202,6 +207,7 @@ def device_server_key(
         bsk_btT2=bsk_btT2,
         bsk_btT4=bsk_btT4,
         bsk_btTs=bsk_btTs,
+        bsk_btT3=bsk_btT3,
     )
 
 
@@ -436,6 +442,76 @@ def _btTs_jit(p: TFHEParams, n: int, R: int, kp1: int, twoN: int, C: int):
     return jax.jit(lambda a: jax.lax.map(one, a))
 
 
+def _btT3_layout_device(p: TFHEParams, ext: np.ndarray) -> jax.Array:
+    """mega17's l=3 SINGLE-WIDTH transposed key: [n, k+1, C4P, 3N] i8.
+
+    The byte-aligned l=3 gadget (bg=2^8, W=24) gives each coefficient
+    THREE digit bytes; mega17 packs four coefficients' 12 digits into
+    three u32s (3-of-4 packing, zero wasted bytes/MACs), so the bitcast
+    byte stream at position s decodes as coefficient z = s // 3, byte
+    lb = s % 3 (byte 0 = LSB digit = level levels-1).  Adjacent-coefficient
+    order keeps the negacyclic wrap a single contiguous sublane split at
+    3*(N - ct*P), so the output-tile shift rides the digit stream
+    (mega15/16's wrap-split dots) and the key is single-width:
+
+        keyT3[i, c_in, (j, c_out, q), 3z + lb] =
+            limb_j( ext[i, c_in*levels + (levels-1-lb), c_out]
+                    [ (q - z) mod 2N ] )
+
+    — the same flat-interleave Toeplitz build as ``bsk_btTs`` at 3-fold
+    interleave: T[u*3+lb] = poly_row(lb)[P-1-u], row tile q = the
+    contiguous slice starting at (P-1-q)*3 of length 3N.  Same R = 6 MAC
+    count as STD128_SHORTINT's bg=2^7 l=3 gadget; built for the
+    integer-tier kernel-class A/B (VERDICT r4 #1; the worker herd this
+    tier replaces: reference grpc_worker_group.cpp:85-94)."""
+    n, R, kp1, twoN = ext.shape
+    assert p.bg_bits == 8 and p.levels == 3, \
+        "bsk_btT3 needs the byte-aligned l=3 gadget (bg_bits=8, levels=3)"
+    assert p.N % 4 == 0, "bsk_btT3 needs N % 4 == 0 (3-of-4 packing)"
+    C = max(1, int(os.environ.get("HERDSMAN_BTT_CHUNK", "4")))
+    while n % C:
+        C //= 2
+    return _btT3_jit(p, n, R, kp1, twoN, C)(jnp.asarray(ext))
+
+
+@functools.lru_cache(maxsize=8)
+def _btT3_jit(p: TFHEParams, n: int, R: int, kp1: int, twoN: int, C: int):
+    P, HALF = bt_tile(p)
+    KEXT = 3 * p.N
+    U = p.N + P - 1
+    shifts = jnp.asarray([0, 8, 16, 24], dtype=jnp.uint32)
+    row_sel = [jnp.asarray([c * p.levels + (p.levels - 1 - lb)
+                            for c in range(kp1)]) for lb in range(3)]
+
+    def one(e: jax.Array) -> jax.Array:  # e [R, kp1, 2N] u32
+        u32 = e + jnp.uint32(0x80808080)
+        limbs = (((u32[None] >> shifts[:, None, None, None])
+                  & jnp.uint32(0xFF)).astype(jnp.int32) - 128).astype(
+            jnp.int8)  # [4(j), R, kp1, 2N]
+        red = jnp.concatenate([limbs, limbs, limbs], axis=-1)[..., ::-1]
+        planes = []
+        for lb in range(3):
+            sel = jnp.take(red, row_sel[lb], axis=1)  # [4, ci, co, 6N]
+            planes.append(jax.lax.slice_in_dim(
+                sel, twoN - P, twoN - P + U, axis=-1))
+        q_flat = jnp.stack(planes, axis=-1).reshape(4, kp1, kp1, U * 3)
+        rows_q = jnp.stack(
+            [jax.lax.slice_in_dim(q_flat, (P - 1 - q) * 3,
+                                  (P - 1 - q) * 3 + KEXT, axis=-1)
+             for q in range(P)],
+            axis=3,
+        )  # [4(j), ci, co, P(q), 3N]
+        t = jnp.transpose(rows_q, (1, 0, 2, 3, 4))  # [ci, j, co, q, 3N]
+        return t.reshape(kp1, 4 * kp1 * P, KEXT)
+
+    if C > 1:
+        f = jax.vmap(one)
+        return jax.jit(lambda a: jax.lax.map(
+            f, a.reshape(n // C, C, R, kp1, twoN)).reshape(
+                n, kp1, 4 * kp1 * P, KEXT))
+    return jax.jit(lambda a: jax.lax.map(one, a))
+
+
 def _btT_layout_device_ref(p: TFHEParams, ext: np.ndarray,
                            pt_major: bool = False) -> jax.Array:
     """mega13's TRANSPOSED windowed key: [n, k+1(c_in), C4P, KEXT] i8.
@@ -526,6 +602,8 @@ def layouts_for_engine(engine: str) -> tuple[str, ...]:
         return ("bsk_btT4",)
     if engine == "pallas_mega16":
         return ("bsk_btTs",)
+    if engine == "pallas_mega17":
+        return ("bsk_btT3",)
     if engine == "pallas_mega11":
         return ("bsk_btj2j",)
     if engine == "pallas_mega12":
@@ -586,6 +664,18 @@ def fit_engine(engine: str, params: TFHEParams,
                       * P * 2 * params.N)
         if (params.bg_bits == 8 and params.levels == 2
                 and params.N % 2 == 0 and btTs_bytes <= hbm_budget_bytes):
+            return engine
+        return ("pallas_mega11" if btj2_bytes <= hbm_budget_bytes
+                else "pallas_mega12")
+    if engine == "pallas_mega17":
+        # l=3 byte-aligned single-width key: n*(k+1)^2*4P*3N bytes
+        # (9.66 GiB at STD128_SHORTINT_B8 — same bytes as mega12's btjj
+        # at the same R); needs the bg=2^8 l=3 gadget, else the generic
+        # single-width mega12 serves the l=3 tier
+        btT3_bytes = (params.n * (params.k + 1) * (params.k + 1) * 4
+                      * P * 3 * params.N)
+        if (params.bg_bits == 8 and params.levels == 3
+                and params.N % 4 == 0 and btT3_bytes <= hbm_budget_bytes):
             return engine
         return ("pallas_mega11" if btj2_bytes <= hbm_budget_bytes
                 else "pallas_mega12")

@@ -568,6 +568,76 @@ def test_mega15_full_bootstrap_decrypts():
         assert ref.lwe_decrypt_bool(ck, got[i]) == bits[i]
 
 
+# mega17: the l=3 byte-aligned gadget (bg=8, levels=3, W=24, 3-of-4
+# digit packing) in the flagship kernel class — the integer tier's
+# kernel-class A/B (VERDICT r4 #1).  N=256 exercises HALF=2 (the digit
+# window actually slides + the wrap-split 3*(N-ct*P) boundary); k=2 the
+# generic (k+1) paths; N=512 the production tile geometry (HALF=4).
+B8L3_SETS = [
+    _dc.replace(TOY, name="toy_b8l3_k1", n=8, N=256, k=1,
+                bg_bits=8, levels=3),
+    _dc.replace(TOY, name="toy_b8l3_k2", n=8, N=256, k=2,
+                bg_bits=8, levels=3),
+    _dc.replace(TOY, name="toy_b8l3_k1_n512", n=8, N=512, k=1,
+                bg_bits=8, levels=3),
+]
+
+
+@pytest.mark.parametrize("params", B8L3_SETS,
+                         ids=[q.name for q in B8L3_SETS])
+def test_mega17_blind_rotate_bitexact(params):
+    from herdsman_tpu.ops.server_key import layouts_for_engine
+
+    rng = np.random.default_rng(47)
+    ck, sk = ref.keygen(params, rng)
+    dsk = device_server_key(sk, layouts=layouts_for_engine("pallas_mega17"))
+    ct = rand_u32(rng, 3, params.n + 1)
+    tp = bs.make_test_poly(params)
+    got = np.asarray(bs.blind_rotate_batch(
+        dsk, jnp.asarray(ct), tp, engine="pallas_mega17", unroll=True))
+    for i in range(3):
+        expect = ref.blind_rotate(sk, ct[i], np.asarray(tp))
+        np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
+
+
+@pytest.mark.parametrize("g_env", ["2", "1"])
+def test_mega17_multichunk_bitexact(g_env, monkeypatch):
+    """G > 1 and BO > 1 grid paths of mega17 (as test_megaT_multichunk)."""
+    from herdsman_tpu.ops.server_key import layouts_for_engine
+
+    monkeypatch.setenv("HERDSMAN_MEGA_G", g_env)
+    params = B8L3_SETS[0]
+    rng = np.random.default_rng(48)
+    ck, sk = ref.keygen(params, rng)
+    dsk = device_server_key(sk, layouts=layouts_for_engine("pallas_mega17"))
+    B = 256  # Bt=128 -> BC=2: G=2/BO=1 and G=1/BO=2
+    ct = rand_u32(rng, B, params.n + 1)
+    tp = bs.make_test_poly(params)
+    got = np.asarray(bs.blind_rotate_batch(
+        dsk, jnp.asarray(ct), tp, engine="pallas_mega17", unroll=True))
+    for i in range(0, B, 37):
+        expect = ref.blind_rotate(sk, ct[i], np.asarray(tp))
+        np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
+
+
+def test_mega17_full_bootstrap_decrypts():
+    params = B8L3_SETS[2]
+    rng = np.random.default_rng(49)
+    ck, sk = ref.keygen(params, rng)
+    dsk = device_server_key(sk, layouts=("bsk_btT3",))
+    bits = np.array([True, False, True, True])
+    ct = ref.encrypt_bool(ck, bits, rng)
+    acc = bs.blind_rotate_batch(dsk, jnp.asarray(ct),
+                                bs.make_test_poly(params),
+                                engine="pallas_mega17", unroll=True)
+    raw = bs.sample_extract_batch(params, acc)
+    got = np.asarray(bs.key_switch_batch(dsk, raw))
+    for i in range(len(bits)):
+        expect = ref.bootstrap_bool(sk, ct[i])
+        np.testing.assert_array_equal(got[i], expect, err_msg=f"elt {i}")
+        assert ref.lwe_decrypt_bool(ck, got[i]) == bits[i]
+
+
 def test_k2_full_bootstrap_decrypts():
     rng = np.random.default_rng(22)
     ck, sk = ref.keygen(MULTITILE_K2, rng)
