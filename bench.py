@@ -192,15 +192,20 @@ def bench_shortint(args) -> None:
     # tunnel's async-repeat quirk cannot fake it — see docs/BENCH_LOG.md)
     K = max(2, args.iters)
     ev = got.copy()
+    rot0 = ctx.rotations
     t0 = time.time()
     for _ in range(K):
         r = (r * b) + a
         ev = (ev * bv + av) % 4
     got = np.array(ctx.decrypt(r))
     dt = (time.time() - t0) / K
+    rot_per_val = (ctx.rotations - rot0) / K / B
     ok = ok and (got == ev).all()
-    log(f"chained (r*b)+a: {B / dt:.1f} shortint mul-adds/s/chip "
-        f"({dt * 1e3:.0f} ms/batch of {B})")
+    rate = B / dt
+    sol, sol_frac = _pbs_sol(params, rate, rot_per_val)
+    log(f"chained (r*b)+a: {rate:.1f} shortint mul-adds/s/chip "
+        f"({dt * 1e3:.0f} ms/batch of {B}; {rot_per_val:.2f} rotations/"
+        f"value => {100 * sol_frac:.1f}% of the {sol:.0f}/s PBS roofline)")
     # slot margin on the final (reduced) ciphertext
     rr = r.reduce() if r.max_val >= ctx.modulus else r
     phase = ref.lwe_phase(ck.lwe_key, np.asarray(rr.data)).astype(np.int64)
@@ -217,13 +222,37 @@ def bench_shortint(args) -> None:
         "value": round(margin, 2),
         "unit": "sigma",
         "vs_baseline": 1.0 if ok else 0.0,
+        "muladds_per_sec": round(rate, 2),
+        "pbs_per_value": round(rot_per_val, 3),
+        "pbs_sol_fraction": round(sol_frac, 4),
     }))
+
+
+def _pbs_sol(params, rate: float, rot_per_val: float) -> tuple[float, float]:
+    """(PBS roofline/s, fraction achieved) for an integer-tier metric:
+    the op rate re-expressed as blind rotations/s against the parameter
+    set's compute roofline (utils.roofline at the standard batch).  This
+    is the 'PBS speed-of-light' framing of VERDICT r4 #6 — without it an
+    integer rate is uninterpretable."""
+    from herdsman_tpu.utils import roofline
+
+    sol = roofline.speed_of_light(params, 2048)["roofline_bootstraps_per_sec"]
+    return sol, (rate * rot_per_val) / sol if sol else 0.0
 
 
 def bench_radix(args) -> None:
     """Radix-integer throughput: encrypted 8-bit multiply (4 shortint
     blocks x 2 bits, batched-PBS schoolbook) — chained-dependent timing
-    ending in a host fetch, decrypt-gated."""
+    ending in a host fetch, decrypt-gated.
+
+    Framing (VERDICT r4 #6): ``vs_baseline`` anchors against the same
+    literature CPU herd as the bool headline — ~25 ms per blind rotation
+    per x86 core (OpenFHE binfhe STD128-class, BASELINE.md), a 64-core
+    herd's 16-chip per-chip share; the exact rotations/mul are metered by
+    ShortContext.rotations, so
+        vs_baseline = muls/s * rotations_per_mul / 160.
+    ``pbs_sol_fraction`` is the rotation rate against the parameter set's
+    MXU roofline."""
     from herdsman_tpu.core import PARAM_SETS
     from herdsman_tpu.radix import RadixContext
     from herdsman_tpu.shortint import ShortContext
@@ -248,6 +277,7 @@ def bench_radix(args) -> None:
         log(f"WARNING: {int((got != (av * bv) % 256).sum())}/{B} mismatches")
 
     K = max(3, args.iters)
+    rot0 = short.rotations
     t0 = time.time()
     c, cv = a, av.copy()
     for _ in range(K):
@@ -255,15 +285,25 @@ def bench_radix(args) -> None:
         cv = (cv * bv) % 256
     got = np.array(rctx.decrypt(c))
     dt = (time.time() - t0) / K
+    rot_per_mul = (short.rotations - rot0) / K / B
     ok = ok and (got == cv).all()
     rate = B / dt
+    sol, sol_frac = _pbs_sol(params, rate, rot_per_mul)
+    # literature CPU anchor (BASELINE.md): ~25 ms/rotation/core => a
+    # 64-core herd's per-chip share over 16 chips is 160 rotations/s
+    vs = rate * rot_per_mul / PER_CHIP_PARITY
     log(f"chained x{K}: {dt * 1e3:.1f} ms/mul-batch => {rate:.1f} "
-        f"8-bit muls/s/chip (exact: {ok})")
+        f"8-bit muls/s/chip (exact: {ok}; {rot_per_mul:.1f} rotations/mul "
+        f"=> {100 * sol_frac:.1f}% of the {sol:.0f}/s PBS roofline, "
+        f"{vs:.1f}x the CPU-herd per-chip share)")
     print(json.dumps({
         "metric": f"radix_u8_mul_per_sec_{args.params}",
         "value": round(rate, 2),
         "unit": "muls/s/chip",
-        "vs_baseline": 1.0 if ok else 0.0,
+        "vs_baseline": round(vs, 3) if ok else 0.0,
+        "decrypt_ok": bool(ok),
+        "pbs_per_mul": round(rot_per_mul, 2),
+        "pbs_sol_fraction": round(sol_frac, 4),
     }))
 
 
@@ -356,7 +396,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--metric", default="bootstrap",
                     choices=["bootstrap", "rns", "noise", "shortint",
-                             "radix", "scaling"])
+                             "radix", "scaling", "service"])
     ap.add_argument("--params", default="std128_k2")
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--engine", default=os.environ.get("HERDSMAN_BENCH_ENGINE",
@@ -383,6 +423,15 @@ def main() -> None:
     if args.metric == "scaling":
         bench_scaling(args)
         return
+    if args.metric == "service":
+        # full coordinator path at TPU speed (scripts/bench_service.py)
+        import subprocess
+        here = os.path.dirname(os.path.abspath(__file__))
+        raise SystemExit(subprocess.run(
+            [sys.executable, os.path.join(here, "scripts",
+                                          "bench_service.py"),
+             "--batch", str(args.batch), "--params", args.params,
+             "--engine", args.engine], cwd=here).returncode)
 
     _fit_engine_to_params(args)
     # fallback chain: if the flagship ever fails to compile/run, step down

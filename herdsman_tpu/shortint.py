@@ -74,6 +74,13 @@ class ShortContext:
         assert 2 * params.N >= (1 << (self.space_bits + 1)) * 16, \
             "message+carry space too large for N (need 2N >= 16*2^(space+1))"
         self.engine = engine
+        # blind-rotation work meter: counts per-ciphertext rotations issued
+        # through this context (a many-LUT call is ONE rotation per input).
+        # Counted at the eager Python chokepoints (_pbs/_pbs_many), so it
+        # is exact for eagerly-composed shortint/radix chains (what bench
+        # times); ops traced inside an enclosing jit would count once per
+        # trace, not per execution.
+        self.rotations = 0
         self._rng = np.random.default_rng(seed)
         if keys is None:
             self.ck, self.sk = ref.keygen(params, self._rng)
@@ -123,6 +130,7 @@ class ShortContext:
         return [int(v) % self.modulus for v in vals]
 
     def _pbs(self, data, table) -> jnp.ndarray:
+        self.rotations += int(data.shape[0])
         if self.mesh is not None:
             from herdsman_tpu.mesh import pbs_batch_sharded
             return pbs_batch_sharded(self.dsk, self.mesh, data, table,
@@ -136,6 +144,7 @@ class ShortContext:
         k = len(tables)
         if (self.many_lut and k > 1 and k & (k - 1) == 0
                 and k <= pbs.many_lut_capacity(self.params, self.space_bits)):
+            self.rotations += int(data.shape[0])
             if self.mesh is not None:
                 from herdsman_tpu.mesh import pbs_many_batch_sharded
                 return pbs_many_batch_sharded(
