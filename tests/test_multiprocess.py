@@ -53,4 +53,5 @@ def test_two_process_dcn_herd():
         assert p.returncode == 0, (
             f"process {i} failed (rc={p.returncode}):\n{out[-4000:]}")
         assert f"MULTIPROCESS OK: process {i}/2" in out, out[-2000:]
-        assert "map/reduce plan + sharded PBS" in out
+        assert ("map/reduce plan [SEQUENCED + PARALLEL_FULL] + sharded PBS"
+                " + flagship mega13/btT") in out
