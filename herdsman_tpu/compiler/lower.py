@@ -106,7 +106,12 @@ def compile_circuit(circuit: Circuit, dsk: DeviceServerKey,
     n_in = circuit.num_input_bits
     levels, _ = levelize(circuit)
 
-    def run(inputs: jax.Array) -> jax.Array:
+    # `dsk` is a jit ARGUMENT, not a closure capture: a closed-over device
+    # key is lowered as an XLA constant, and at production scale (bsk_btT =
+    # 9 GiB) that turns every plan compile into a multi-minute constant
+    # embed.  Found driving the coordinator at TPU speed
+    # (scripts/bench_service.py).
+    def run(dsk: DeviceServerKey, inputs: jax.Array) -> jax.Array:
         rows = inputs.shape[0]
         flat_rows = rows  # gate batches fold rows x gates into one axis
         wires: dict[int, jax.Array] = {
@@ -199,6 +204,7 @@ def compile_circuit(circuit: Circuit, dsk: DeviceServerKey,
         axis = dict(zip(mesh.axis_names, mesh.devices.shape))["batch"]
         s = NamedSharding(mesh, PartitionSpec("batch"))
         jfn = jax.jit(run, out_shardings=s)
+        del run  # call through jfn with dsk as an argument only
 
         def padded(inputs: jax.Array) -> jax.Array:
             """Explicit shardings need rows % batch_axis == 0: pad with
@@ -213,11 +219,12 @@ def compile_circuit(circuit: Circuit, dsk: DeviceServerKey,
                 fill = jnp.broadcast_to(inputs[:1],
                                         (pad,) + inputs.shape[1:])
                 inputs = jnp.concatenate([inputs, fill], axis=0)
-            out = jfn(jax.device_put(inputs, s))
+            out = jfn(dsk, jax.device_put(inputs, s))
             return out[:r] if pad else out
 
         return padded
-    return jax.jit(run)
+    jrun = jax.jit(run)
+    return lambda inputs: jrun(dsk, inputs)
 
 
 # ---------------------------------------------------------------------------

@@ -93,14 +93,19 @@ class PlanCompiler:
         self.engine = engine
         self.optimize = optimize
         self.mesh = mesh  # shard plan rows over the mesh's batch axis
-        # id(circuit) -> (jitted fn, circuit actually compiled)
-        self._circuit_cache: dict[int, tuple[Callable, Circuit]] = {}
+        # circuit (STRUCTURAL key: Circuit is a frozen dataclass, equal
+        # circuits hash equal) -> (jitted fn, circuit actually compiled).
+        # Keying by id() made every job deserialized from the wire a cache
+        # miss — each re-jit re-lowered the plan, which the service-path
+        # bench measured as tens of seconds per job at production params
+        # (docs/BENCH_LOG.md round 5).
+        self._circuit_cache: dict[Circuit, tuple[Callable, Circuit]] = {}
         import threading
 
         self._cache_lock = threading.Lock()  # branch threads share the cache
 
     def _compiled(self, circuit: Circuit) -> tuple[Callable, Circuit]:
-        key = id(circuit)
+        key = circuit
         with self._cache_lock:
             if key not in self._circuit_cache:
                 lowered = (optimize_circuit(circuit) if self.optimize

@@ -10,6 +10,8 @@ shipped parameter sets use ks_base_bits <= 3.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -44,6 +46,7 @@ def packing_key_conv(pk: PackingKey) -> jax.Array:
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
 def pack_lwes_batch(params: TFHEParams, pkc: jax.Array,
                     cts: jax.Array) -> jax.Array:
     """Pack groups of LWE cts: [Gr, M <= N, n+1] u32 -> [Gr, k+1, N] u32.
@@ -76,6 +79,7 @@ def pack_lwes_batch(params: TFHEParams, pkc: jax.Array,
     return base - contrib
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
 def extract_all_batch(params: TFHEParams, glwes: jax.Array) -> jax.Array:
     """Sample-extract EVERY coefficient of packed GLWEs on device:
     [Gr, k+1, N] u32 -> [Gr, N, kN+1] u32 (row i = the kN-LWE of
@@ -105,6 +109,7 @@ def extract_all_batch(params: TFHEParams, glwes: jax.Array) -> jax.Array:
     return jnp.concatenate([a_out, b_out], axis=-1)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
 def unpack_lwes_batch(dsk, glwes: jax.Array, count: int) -> jax.Array:
     """Invert `pack_lwes_batch` on the SERVER side: extract the first
     `count` coefficients of each packed GLWE and key-switch them back to

@@ -94,6 +94,12 @@ class MeshWorkersConfig:
     # GLWE-domain intermediate frames: mapper/reduce outputs stored as
     # packed GLWEs when the session holds a TFHE_PACKING key
     glwe_frames: bool = False
+    # also store OUTPUT-stage frames packed (noise-equivalent to a packed
+    # download; frame bytes shrink (n+1)/((k+1)/N-per-bit) ~ 192x at
+    # STD128_K2, which takes the device->host hop off the job's critical
+    # path).  Clients must then use download_data_frame_packed — the row
+    # download refuses packed frames with a pointer to it.
+    glwe_outputs: bool = False
 
 
 @dataclasses.dataclass
@@ -177,6 +183,7 @@ def load_config(path: str) -> Config:
         param_set=str(mesh.get("param_set", "std128")),
         concurrent_jobs=int(mesh.get("concurrent_jobs", 1)),
         glwe_frames=bool(mesh.get("glwe_frames", False)),
+        glwe_outputs=bool(mesh.get("glwe_outputs", False)),
     )
     if cfg.grpc_workers and cfg.lambda_workers:
         raise ConfigError("workers.grpc and workers.lambda are exclusive")

@@ -132,6 +132,11 @@ class Coordinator:
         )
         # session -> (resolved engine name, DeviceServerKey)
         self._session_dsk: dict[str, tuple[str, object]] = {}
+        # session -> StorageJobRunner: reused ACROSS jobs so the
+        # PlanCompiler's compiled-circuit cache survives job boundaries
+        # (a fresh runner per job re-jitted every plan — tens of seconds
+        # per job at production params, docs/BENCH_LOG.md round 5)
+        self._session_runner: dict[str, object] = {}
         # lazy worker group: GrpcWorkerGroup (workers.grpc) or
         # OffloadWorkerGroup (workers.lambda); creation is locked — with
         # concurrent_jobs > 1 two executor threads could otherwise both
@@ -186,12 +191,14 @@ class Coordinator:
             raise ValueError(f"short key upload: {len(buf)} of {size} bytes")
         self.keys.add_key(session_uuid, schema_type, bytes(buf))
         self._session_dsk.pop(session_uuid, None)
+        self._session_runner.pop(session_uuid, None)
 
     def remove_key(self, token: str, session_uuid: str,
                    schema_type: SchemaType) -> None:
         self._check_session(token, session_uuid)
         self.keys.remove_key(session_uuid, schema_type)
         self._session_dsk.pop(session_uuid, None)
+        self._session_runner.pop(session_uuid, None)
 
     def list_keys(self, token: str, session_uuid: str) -> list[SchemaType]:
         self._check_session(token, session_uuid)
@@ -476,10 +483,13 @@ class Coordinator:
                     self._offload_group = OffloadWorkerGroup(
                         lw.address, lw.concurrency_limit, self.storage)
             return OffloadJobRunner(self.storage, self._offload_group)(job)
+        cached = self._session_runner.get(job.session_uuid)
+        if cached is not None:
+            return cached(job)
         engine, dsk = self._device_key(job.session_uuid)
         pk = None
-        if (self.config.mesh_workers is not None
-                and self.config.mesh_workers.glwe_frames):
+        mw = self.config.mesh_workers
+        if mw is not None and (mw.glwe_frames or mw.glwe_outputs):
             # GLWE-domain intermediate frames need the session's packing
             # key; silently stay in the row format without one
             try:
@@ -505,8 +515,16 @@ class Coordinator:
                         "at %s is below the 8-sigma production bar; using "
                         "row frames", margin, dsk.params.name)
                     pk = None
-        runner = StorageJobRunner(self.storage, dsk, engine=engine,
-                                  mesh=self._mesh(), packing_key=pk)
+        runner = StorageJobRunner(
+            self.storage, dsk, engine=engine, mesh=self._mesh(),
+            packing_key=pk,
+            glwe_frames=bool(mw is not None and mw.glwe_frames),
+            glwe_outputs=bool(mw is not None and mw.glwe_outputs))
+        # concurrent executor slots may race here; last writer wins and the
+        # loser's runner is still correct (same dsk/engine/pk inputs), so no
+        # lock is needed — the cache only exists to keep the PlanCompiler's
+        # compiled circuits warm across jobs
+        self._session_runner[job.session_uuid] = runner
         return runner(job)
 
     def schedule_job(self, token: str, session_uuid: str,

@@ -72,6 +72,9 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--params", default="std128_k2")
     ap.add_argument("--engine", default="pallas_mega13")
+    ap.add_argument("--row-frames", action="store_true",
+                    help="store frames as LWE rows (the pre-round-5 "
+                    "layout) instead of packed GLWEs")
     ap.add_argument("--force-cpu", action="store_true",
                     help="pin the CPU backend (for plumbing smoke tests; "
                     "the axon TPU plugin IGNORES JAX_PLATFORMS env, so a "
@@ -88,8 +91,8 @@ def main() -> None:
     from herdsman_tpu.circuit.dag import DAG
     from herdsman_tpu.core import client as client_lib
     from herdsman_tpu.core import reference as ref
-    from herdsman_tpu.service.config import (Config, SecurityConfig,
-                                             ServerConfig)
+    from herdsman_tpu.service.config import (Config, MeshWorkersConfig,
+                                             SecurityConfig, ServerConfig)
     from herdsman_tpu.service.coordinator import (Coordinator,
                                                   serialize_packing_key,
                                                   serialize_server_key)
@@ -110,8 +113,17 @@ def main() -> None:
         server=ServerConfig(key_directory=f"{d}/keys",
                             storage_directory=f"{d}/storage"),
         security=SecurityConfig(secret_key="bench-secret"),
+        # production storage config: frames live in the GLWE-packed domain
+        # (192x smaller at STD128_K2) so the device->host hop ships packed
+        # GLWEs, not (n+1)-expanded rows; margin-gated in the runner
+        # (14.1 sigma at STD128_K2, core/noise.glwe_frame_margin_sigma)
+        mesh_workers=None if args.row_frames else MeshWorkersConfig(
+            engine=args.engine, glwe_frames=True, glwe_outputs=True),
     )
     coord = Coordinator(cfg, engine=args.engine)
+    import logging
+
+    logging.getLogger("herdsman.runner").setLevel(logging.DEBUG)
     try:
         token = coord.authorize_connection("admin==true")
         session = coord.create_session(token, "svc-bench")
@@ -147,6 +159,7 @@ def main() -> None:
             [(_, out_frame)] = done.output_frames.items()
             blobs = list(coord.download_data_frame_packed(
                 token, session.uuid, out_frame))
+            t_dl0 = time.time()
             dec = client_lib.decrypt_rows_packed(ck, out_cols, blobs)
             t_dl = time.time()
             n_bad = sum(int(row["x"] != (a ^ b))
@@ -156,7 +169,8 @@ def main() -> None:
             for fr in coord.list_data_frames(token, session.uuid):
                 coord.remove_data_frame(token, session.uuid, fr.uuid)
             return dict(upload=t_up - t0, execute=t_exec - t_up,
-                        download=t_dl - t_exec, total=t_dl - t0,
+                        download=t_dl0 - t_exec, decrypt=t_dl - t_dl0,
+                        total=t_dl - t0,
                         bad=n_bad, bootstraps=desc.bootstraps_executed)
 
         w = flow("warmup")  # compiles: key layout + gate batch
@@ -172,7 +186,8 @@ def main() -> None:
             log(f"round {rnd}: {rate:.1f} bootstraps/s end-to-end "
                 f"(up {f['upload'] * 1e3:.0f} ms, exec "
                 f"{f['execute'] * 1e3:.0f} ms, dl "
-                f"{f['download'] * 1e3:.0f} ms, bad={f['bad']})")
+                f"{f['download'] * 1e3:.0f} ms, client decrypt "
+                f"{f['decrypt'] * 1e3:.0f} ms, bad={f['bad']})")
             if f["bad"] == 0 and (best is None or rate > best["rate"]):
                 best = dict(f, rate=rate)
         assert best is not None, "no clean service round"

@@ -490,3 +490,87 @@ def map_circuit2_for_mid():
     cb = CircuitBuilder(MAP_OUT_COLS)
     cb.output("y", ~cb.input_column("x"))
     return cb.build()
+
+
+def test_glwe_output_frames(tmp_path):
+    """workers.mesh.glwe_outputs: OUTPUT-stage frames are stored packed
+    too (round-5 service-path optimization — the device->host hop ships
+    (k+1)N-u32 GLWEs instead of (n+1)-expanded rows).  The row download
+    refuses them with a pointer to the packed download; the packed
+    download streams the stored GLWEs verbatim and decrypts exactly; a
+    follow-up job can consume the packed OUTPUT frame as its input."""
+    from herdsman_tpu.core import reference as ref_mod
+    from herdsman_tpu.service.config import MeshWorkersConfig
+    from herdsman_tpu.service.coordinator import serialize_packing_key
+
+    cfg = Config(
+        server=ServerConfig(key_directory=str(tmp_path / "keys"),
+                            storage_directory=str(tmp_path / "storage")),
+        security=SecurityConfig(secret_key="glwe-out-secret"),
+        mesh_workers=MeshWorkersConfig(glwe_frames=True, glwe_outputs=True,
+                                       engine="conv_i8"),
+    )
+    coord = Coordinator(cfg, engine="conv_i8")
+    try:
+        rng = np.random.default_rng(77)
+        ck, sk = ref_mod.keygen(TOY, rng)
+        pk = ref_mod.make_packing_key(ck, rng)
+        token = coord.authorize_connection("admin==true")
+        session = coord.create_session(token, "glwe-out")
+        kb = serialize_server_key(sk)
+        coord.add_key(token, session.uuid, SchemaType.TFHE_BOOL, len(kb),
+                      [kb])
+        pkb = serialize_packing_key(pk)
+        coord.add_key(token, session.uuid, SchemaType.TFHE_PACKING,
+                      len(pkb), [pkb])
+
+        table = [(9, 12), (255, 1), (0, 0), (77, 170)]
+        rows_ct = client_lib.encrypt_rows(ck, IN_COLS, table, rng)
+        frame_uuid = upload_rows(coord, token, session.uuid, "in", IN_COLS,
+                                 rows_ct, partitions=2)
+        job = coord.schedule_job(
+            token, session.uuid, build_plan(frame_uuid, Policy.PARALLEL))
+        done = coord.wait_for_job(token, session.uuid, job.job_uuid,
+                                  timeout=900)
+        assert done.status == JobStatus.COMPLETED, done.message
+
+        frames = {f.name: f for f in coord.list_data_frames(token,
+                                                            session.uuid)}
+        out_entry = frames["result"]
+        assert out_entry.glwe_packed  # outputs packed now too
+
+        import pytest as _pytest
+        from herdsman_tpu.circuit.model import MappingError
+        with _pytest.raises(MappingError):
+            list(coord.download_data_frame(token, session.uuid,
+                                           out_entry.uuid))
+
+        # the reduce folded all rows into one: decrypt the packed result
+        parts = list(coord.download_data_frame_packed(
+            token, session.uuid, out_entry.uuid))
+        dec = client_lib.decrypt_rows_packed(ck, MAP_OUT_COLS, parts)
+        expect_x = 0
+        for a, b in table:
+            expect_x ^= a ^ b
+        assert dec[0]["x"] == expect_x
+
+        # a second job can consume the packed OUTPUT frame as its input
+        g = DAG()
+        inp = g.emplace(InputStage(out_entry.uuid))
+        mp = g.emplace(MapperStage(map_circuit2_for_mid()))
+        out = g.emplace(OutputStage("second"))
+        g.add_edge(inp, mp)
+        g.add_edge(mp, out)
+        plan2 = ExecutionPlan(SchemaType.TFHE_BOOL, g)
+        job2 = coord.schedule_job(token, session.uuid, plan2)
+        done2 = coord.wait_for_job(token, session.uuid, job2.job_uuid,
+                                   timeout=900)
+        assert done2.status == JobStatus.COMPLETED, done2.message
+        [(_, of)] = done2.output_frames.items()
+        blobs2 = list(coord.download_data_frame_packed(
+            token, session.uuid, of))
+        got2 = client_lib.decrypt_rows_packed(
+            ck, (ColumnMeta("y", DataType.UINT8),), blobs2)
+        assert got2[0]["y"] == (~expect_x) & 0xFF
+    finally:
+        coord.shutdown()
