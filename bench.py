@@ -431,7 +431,11 @@ def main() -> None:
             [sys.executable, os.path.join(here, "scripts",
                                           "bench_service.py"),
              "--batch", str(args.batch), "--params", args.params,
-             "--engine", args.engine], cwd=here).returncode)
+             "--engine", args.engine,
+             # the representative production-depth plan (8-bit adder, 17
+             # levels) — the depth-1 xor case is the per-job fixed-cost
+             # probe, kept via scripts/bench_service.py --circuit xor
+             "--circuit", "add"], cwd=here).returncode)
 
     _fit_engine_to_params(args)
     # fallback chain: if the flagship ever fails to compile/run, step down

@@ -72,6 +72,7 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--params", default="std128_k2")
     ap.add_argument("--engine", default="pallas_mega13")
+    ap.add_argument("--circuit", choices=["xor", "add"], default="xor")
     ap.add_argument("--row-frames", action="store_true",
                     help="store frames as LWE rows (the pre-round-5 "
                     "layout) instead of packed GLWEs")
@@ -100,10 +101,18 @@ def main() -> None:
 
     cols = (ColumnMeta("a", DataType.UINT8), ColumnMeta("b", DataType.UINT8))
     cb = CircuitBuilder(cols)
-    cb.output("x", cb.input_column("a") ^ cb.input_column("b"))
+    if args.circuit == "xor":
+        # depth-1: isolates the per-job fixed cost (one gate level per
+        # upload/exec/download cycle — the HARDEST case for the service)
+        cb.output("x", cb.input_column("a") ^ cb.input_column("b"))
+        oracle = lambda a, b: a ^ b
+    else:
+        # adder: a production-depth circuit (ripple carry, ~2 levels/bit)
+        # that amortizes the per-job fixed cost the way real plans do
+        cb.output("x", cb.input_column("a") + cb.input_column("b"))
+        oracle = lambda a, b: (a + b) & 0xFF
     circuit = cb.build()
     out_cols = (ColumnMeta("x", DataType.UINT8),)
-    bits_per_row = 8  # one XOR level: 8 bootstraps/row in ONE device batch
 
     ck, sk = get_keys(args.params)
     rng = np.random.default_rng(2024)
@@ -162,7 +171,7 @@ def main() -> None:
             t_dl0 = time.time()
             dec = client_lib.decrypt_rows_packed(ck, out_cols, blobs)
             t_dl = time.time()
-            n_bad = sum(int(row["x"] != (a ^ b))
+            n_bad = sum(int(row["x"] != oracle(a, b))
                         for (a, b), row in zip(table, dec))
             desc = coord.describe_job(token, session.uuid, job.job_uuid)
             # keep the storage dir lean across rounds
@@ -202,7 +211,10 @@ def main() -> None:
         from herdsman_tpu.ops import bootstrap as bs
 
         engine, dsk = coord._device_key(session.uuid)
-        GB = args.batch * bits_per_row
+        # anchor at a FIXED reference batch (rates are per-bootstrap and
+        # comparable): the adder circuit would otherwise imply an anchor
+        # batch of ~40x rows
+        GB = args.batch * 8
         bits = rng.integers(0, 2, GB).astype(bool)
         ct = jnp.asarray(ref.encrypt_bool(ck, bits, rng))
         jax.block_until_ready(ct)
@@ -221,7 +233,8 @@ def main() -> None:
             f"batch {GB} (bad={k_bad}); service fraction {frac:.3f}")
 
         print(json.dumps({
-            "metric": f"service_e2e_bootstraps_per_sec_{args.params}",
+            "metric": f"service_e2e_bootstraps_per_sec_{args.params}"
+                      + ("" if args.circuit == "xor" else f"_{args.circuit}"),
             "value": round(best["rate"], 2),
             "unit": "bootstraps/s/chip through the coordinator",
             "vs_baseline": round(frac, 4),
