@@ -224,7 +224,63 @@ def compile_circuit(circuit: Circuit, dsk: DeviceServerKey,
 
         return padded
     jrun = jax.jit(run)
-    return lambda inputs: jrun(dsk, inputs)
+
+    # AOT executable cache for plan programs (ops/aot.py): a restarted
+    # coordinator serves its first job without the multi-minute plan
+    # compile.  Per-shape (plans are fixed-shape per frame geometry);
+    # enabled on accelerator backends (deserialize binds to ALL local
+    # devices, so the multi-device CPU test client skips it);
+    # HERDSMAN_AOT_PLANS=0/1 overrides.
+    import os as _os
+
+    _flag = _os.environ.get("HERDSMAN_AOT_PLANS", "")
+    _use_aot = (_flag == "1") if _flag else (
+        jax.default_backend() != "cpu" and jax.device_count() == 1)
+    if not _use_aot:
+        return lambda inputs: jrun(dsk, inputs)
+
+    _execs: dict = {}
+
+    def call(inputs: jax.Array) -> jax.Array:
+        key = (inputs.shape, str(inputs.dtype))
+        exe = _execs.get(key)
+        if exe is None:
+            from herdsman_tpu.ops import aot as aot_mod
+            from herdsman_tpu.ops import bootstrap as _bs
+            from herdsman_tpu.ops import gates as _gates
+            from herdsman_tpu.ops import server_key as _sk
+            from herdsman_tpu.ops.pallas import mega as _mega
+            import herdsman_tpu.compiler.lower as _self
+
+            try:
+                exe = aot_mod.load_or_compile(
+                    jrun, (dsk, inputs),
+                    key_parts=["plan", repr(circuit), p.name, engine, key,
+                               aot_mod.code_fingerprint(
+                                   _self, _bs, _gates, _sk, _mega)])
+            except Exception as e:  # noqa: BLE001 — aot is optional
+                import logging
+                logging.getLogger("herdsman.aot").warning(
+                    "plan aot unavailable (%s: %s); using plain jit",
+                    type(e).__name__, e)
+                exe = jrun
+            _execs[key] = exe
+        if exe is jrun:
+            return jrun(dsk, inputs)
+        try:
+            return exe(dsk, inputs)
+        except Exception as e:  # noqa: BLE001 — e.g. topology mismatch:
+            # deserialize can succeed while the CALL rejects the client's
+            # device layout; recover with the plain jit and stop using
+            # the entry for this shape
+            import logging
+            logging.getLogger("herdsman.aot").warning(
+                "plan aot executable rejected at call time (%s: %s); "
+                "falling back to plain jit", type(e).__name__, e)
+            _execs[key] = jrun
+            return jrun(dsk, inputs)
+
+    return call
 
 
 # ---------------------------------------------------------------------------
