@@ -73,6 +73,12 @@ def main() -> None:
     ap.add_argument("--params", default="std128_k2")
     ap.add_argument("--engine", default="pallas_mega13")
     ap.add_argument("--circuit", choices=["xor", "add"], default="xor")
+    ap.add_argument("--pipeline", type=int, default=0, metavar="J",
+                    help="ALSO measure pipelined throughput: schedule J "
+                    "jobs back-to-back (uploads/downloads of one job "
+                    "overlap device exec of another via 2 executor "
+                    "slots) and report aggregate bootstraps/s — the "
+                    "sustained production-serving number")
     ap.add_argument("--row-frames", action="store_true",
                     help="store frames as LWE rows (the pre-round-5 "
                     "layout) instead of packed GLWEs")
@@ -127,7 +133,8 @@ def main() -> None:
         # GLWEs, not (n+1)-expanded rows; margin-gated in the runner
         # (14.1 sigma at STD128_K2, core/noise.glwe_frame_margin_sigma)
         mesh_workers=None if args.row_frames else MeshWorkersConfig(
-            engine=args.engine, glwe_frames=True, glwe_outputs=True),
+            engine=args.engine, glwe_frames=True, glwe_outputs=True,
+            concurrent_jobs=2 if args.pipeline else 1),
     )
     coord = Coordinator(cfg, engine=args.engine)
     import logging
@@ -201,6 +208,55 @@ def main() -> None:
                 best = dict(f, rate=rate)
         assert best is not None, "no clean service round"
 
+        if args.pipeline:
+            # PIPELINED throughput: J independent jobs on pre-uploaded
+            # frames, scheduled back-to-back; with 2 executor slots one
+            # job's host phases (frame load, pack stream, stores) overlap
+            # another's device exec, so per-job fixed cost amortizes the
+            # way a loaded production coordinator amortizes it
+            J = args.pipeline
+            tables, frames = [], []
+            for j in range(J):
+                tab, bodies, seed = build_inputs(ck, cols, args.batch, rng)
+                tables.append(tab)
+                frames.append(upload_seeded(coord, token, session.uuid,
+                                            f"pipe-{j}", cols, bodies,
+                                            seed))
+            t0 = time.time()
+            jobs = []
+            for j, fr in enumerate(frames):
+                g = DAG()
+                inp = g.emplace(InputStage(fr))
+                mp = g.emplace(MapperStage(circuit))
+                out = g.emplace(OutputStage(f"pipe-out-{j}"))
+                g.add_edge(inp, mp)
+                g.add_edge(mp, out)
+                jobs.append(coord.schedule_job(
+                    token, session.uuid,
+                    ExecutionPlan(SchemaType.TFHE_BOOL, g).to_json()))
+            total_bs = 0
+            blobs_all = []
+            for j, job in enumerate(jobs):
+                done = coord.wait_for_job(token, session.uuid,
+                                          job.job_uuid, timeout=1800)
+                assert done.status == JobStatus.COMPLETED, done.message
+                [(_, of)] = done.output_frames.items()
+                blobs_all.append(list(coord.download_data_frame_packed(
+                    token, session.uuid, of)))
+                total_bs += coord.describe_job(
+                    token, session.uuid, job.job_uuid).bootstraps_executed
+            t_pipe = time.time() - t0
+            pipe_bad = 0
+            for j, blobs_j in enumerate(blobs_all):
+                dec_j = client_lib.decrypt_rows_packed(ck, out_cols,
+                                                       blobs_j)
+                pipe_bad += sum(int(row["x"] != oracle(a, b))
+                                for (a, b), row in zip(tables[j], dec_j))
+            pipe_rate = total_bs / t_pipe
+            log(f"pipelined x{J}: {pipe_rate:.1f} bootstraps/s sustained "
+                f"({total_bs} bootstraps in {t_pipe:.1f}s, bad={pipe_bad})")
+            assert pipe_bad == 0, "pipelined decrypt failed"
+
         # same-session kernel anchor at the same batch geometry: the raw
         # chained gate-batch rate the service path is measured against
         # (reuses the coordinator's device key — a second 9 GiB layout
@@ -232,7 +288,7 @@ def main() -> None:
         log(f"same-session kernel anchor: {k_rate:.1f} bootstraps/s at "
             f"batch {GB} (bad={k_bad}); service fraction {frac:.3f}")
 
-        print(json.dumps({
+        out_json = {
             "metric": f"service_e2e_bootstraps_per_sec_{args.params}"
                       + ("" if args.circuit == "xor" else f"_{args.circuit}"),
             "value": round(best["rate"], 2),
@@ -240,7 +296,11 @@ def main() -> None:
             "vs_baseline": round(frac, 4),
             "decrypt_ok": True,
             "kernel_anchor_per_sec": round(k_rate, 2),
-        }))
+        }
+        if args.pipeline:
+            out_json["pipelined_per_sec"] = round(pipe_rate, 2)
+            out_json["pipelined_vs_kernel"] = round(pipe_rate / k_rate, 4)
+        print(json.dumps(out_json))
     finally:
         coord.shutdown()
         shutil.rmtree(d, ignore_errors=True)
