@@ -574,3 +574,31 @@ def test_glwe_output_frames(tmp_path):
         assert got2[0]["y"] == (~expect_x) & 0xFF
     finally:
         coord.shutdown()
+
+
+def test_service_bench_script_smoke():
+    """scripts/bench_service.py (the hardware service-path bench) must
+    keep working end-to-end: run it CPU-forced at TOY geometry with the
+    pipelined mode and check the emitted JSON contract (decrypt-gated
+    rate + kernel anchor + pipelined fields)."""
+    import json as json_mod
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "bench_service.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, script, "--force-cpu", "--params", "toy",
+         "--engine", "conv_i8", "--batch", "32", "--rounds", "1",
+         "--pipeline", "2"],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."))
+    assert out.returncode == 0, out.stderr[-4000:]
+    payload = json_mod.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["decrypt_ok"] is True
+    assert payload["value"] > 0
+    assert payload["kernel_anchor_per_sec"] > 0
+    assert payload["pipelined_per_sec"] > 0
