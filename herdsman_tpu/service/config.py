@@ -100,6 +100,11 @@ class MeshWorkersConfig:
     # path).  Clients must then use download_data_frame_packed — the row
     # download refuses packed frames with a pointer to it.
     glwe_outputs: bool = False
+    # and pack INPUT frames at upload-finish (needs the session's
+    # TFHE_PACKING key at ingest time; falls back to rows without it):
+    # with all three set, frames live in the GLWE domain END-TO-END —
+    # disk, device<->host, and wire
+    glwe_inputs: bool = False
 
 
 @dataclasses.dataclass
@@ -184,6 +189,7 @@ def load_config(path: str) -> Config:
         concurrent_jobs=int(mesh.get("concurrent_jobs", 1)),
         glwe_frames=bool(mesh.get("glwe_frames", False)),
         glwe_outputs=bool(mesh.get("glwe_outputs", False)),
+        glwe_inputs=bool(mesh.get("glwe_inputs", False)),
     )
     if cfg.grpc_workers and cfg.lambda_workers:
         raise ConfigError("workers.grpc and workers.lambda are exclusive")

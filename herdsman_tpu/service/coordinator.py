@@ -137,6 +137,8 @@ class Coordinator:
         # (a fresh runner per job re-jitted every plan — tens of seconds
         # per job at production params, docs/BENCH_LOG.md round 5)
         self._session_runner: dict[str, object] = {}
+        # session -> device packing-key conv layout (glwe_inputs ingest)
+        self._session_pkc: dict[str, tuple[object, object]] = {}
         # lazy worker group: GrpcWorkerGroup (workers.grpc) or
         # OffloadWorkerGroup (workers.lambda); creation is locked — with
         # concurrent_jobs > 1 two executor threads could otherwise both
@@ -192,6 +194,7 @@ class Coordinator:
         self.keys.add_key(session_uuid, schema_type, bytes(buf))
         self._session_dsk.pop(session_uuid, None)
         self._session_runner.pop(session_uuid, None)
+        self._session_pkc.pop(session_uuid, None)
 
     def remove_key(self, token: str, session_uuid: str,
                    schema_type: SchemaType) -> None:
@@ -199,6 +202,7 @@ class Coordinator:
         self.keys.remove_key(session_uuid, schema_type)
         self._session_dsk.pop(session_uuid, None)
         self._session_runner.pop(session_uuid, None)
+        self._session_pkc.pop(session_uuid, None)
 
     def list_keys(self, token: str, session_uuid: str) -> list[SchemaType]:
         self._check_session(token, session_uuid)
@@ -309,6 +313,46 @@ class Coordinator:
         except ValueError:
             self.storage.remove_data_frame(session_uuid, frame_uuid)
             raise
+        mw = self.config.mesh_workers
+        if mw is not None and mw.glwe_inputs:
+            self._pack_input_frame(session_uuid, frame_uuid)
+
+    def _pack_input_frame(self, session_uuid: str, frame_uuid: str) -> None:
+        """glwe_inputs: re-encode the freshly uploaded row frame as packed
+        GLWEs (192x smaller at STD128_K2; the job runner expands on load
+        with one device matmul).  Best-effort: without a TFHE_PACKING key,
+        or below the 8-sigma frame margin at secure params, the frame
+        stays in the row format."""
+        from herdsman_tpu.core import noise as noise_mod
+        from herdsman_tpu.ops import pack as pack_mod
+        from herdsman_tpu.service.runner import pack_frame_partitions_inplace
+
+        cached = self._session_pkc.get(session_uuid)
+        if cached is None:
+            try:
+                pk = deserialize_packing_key(self.keys.read_key(
+                    session_uuid, SchemaType.TFHE_PACKING))
+            except ObjectNotFoundException:
+                log.warning("glwe_inputs: session %s has no TFHE_PACKING "
+                            "key at ingest; frame %s stays in row format",
+                            session_uuid, frame_uuid)
+                return
+            margin = noise_mod.glwe_frame_margin_sigma(pk.params)
+            if margin < 8.0 and pk.params.security_bits > 0:
+                log.warning("glwe_inputs: frame margin %.1f sigma at %s "
+                            "below the 8-sigma bar; frame %s stays in row "
+                            "format", margin, pk.params.name, frame_uuid)
+                return
+            cached = (pack_mod.packing_key_conv(pk), pk.params)
+            self._session_pkc[session_uuid] = cached
+        pkc, pk_params = cached
+        try:
+            pack_frame_partitions_inplace(
+                self.storage, session_uuid, frame_uuid, pkc, pk_params)
+        except Exception as e:  # noqa: BLE001 — packing is an optimization
+            log.warning("glwe_inputs: packing frame %s failed (%s: %s); "
+                        "frame stays in row format", frame_uuid,
+                        type(e).__name__, e)
 
     def abandon_data_frame_upload(self, token: str, session_uuid: str,
                                   frame_uuid: str) -> None:

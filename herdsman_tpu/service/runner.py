@@ -30,6 +30,49 @@ from herdsman_tpu.ops.server_key import DeviceServerKey
 log = logging.getLogger("herdsman.runner")
 
 
+def pack_frame_partitions_inplace(storage: StorageService,
+                                  session_uuid: str, frame_uuid: str,
+                                  pkc, params) -> None:
+    """Re-encode an uploaded ROW-format frame as packed GLWEs in place
+    (per partition, preserving the partition row split).  Used by the
+    coordinator's ``glwe_inputs`` ingest path; the job runner then loads
+    it through the packed branch (`_load_frame_packed`)."""
+    import jax.numpy as jnp
+
+    from herdsman_tpu.ops import pack as pack_mod
+    from herdsman_tpu.utils import rowcodec
+
+    entry = storage.get_data_frame(session_uuid, frame_uuid)
+    if entry.glwe_packed:
+        return
+    p = params
+    for part in range(entry.partitions):
+        payloads = storage.read_partition_rows(session_uuid, frame_uuid,
+                                               part)
+        flat = (np.concatenate([
+            np.frombuffer(pl, dtype="<u4").reshape(-1, p.n + 1)
+            for pl in payloads
+        ], axis=0) if payloads
+            else np.zeros((0, p.n + 1), np.uint32))
+        groups: list[np.ndarray] = []
+        full = flat.shape[0] // p.N * p.N
+        if full:
+            g = np.asarray(pack_mod.pack_lwes_batch(
+                p, pkc, jnp.asarray(flat[:full].reshape(-1, p.N,
+                                                        p.n + 1))))
+            groups.extend(g)
+        if full < flat.shape[0]:
+            g = np.asarray(pack_mod.pack_lwes_batch(
+                p, pkc, jnp.asarray(flat[None, full:])))
+            groups.append(g[0])
+        blobs = [np.ascontiguousarray(g, dtype="<u4").tobytes()
+                 for g in groups]
+        path = storage.partition_path(session_uuid, frame_uuid, part)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_bytes(rowcodec.frame_rows(blobs))
+    storage.set_glwe_packed(session_uuid, frame_uuid)
+
+
 class StorageJobRunner:
     def __init__(self, storage: StorageService, dsk: DeviceServerKey,
                  engine: str = "conv_i8", mesh=None, packing_key=None,

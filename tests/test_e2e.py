@@ -602,3 +602,77 @@ def test_service_bench_script_smoke():
     assert payload["value"] > 0
     assert payload["kernel_anchor_per_sec"] > 0
     assert payload["pipelined_per_sec"] > 0
+
+
+def test_glwe_input_frames(tmp_path):
+    """workers.mesh.glwe_inputs: an uploaded row frame is re-encoded as
+    packed GLWEs at finish (catalog-flagged), the job runner expands it
+    through the device unpack path, and with glwe_frames+glwe_outputs the
+    ENTIRE pipeline — input, intermediate, output — lives in the GLWE
+    domain.  Without a packing key the upload falls back to rows."""
+    from herdsman_tpu.core import reference as ref_mod
+    from herdsman_tpu.service.config import MeshWorkersConfig
+    from herdsman_tpu.service.coordinator import serialize_packing_key
+
+    cfg = Config(
+        server=ServerConfig(key_directory=str(tmp_path / "keys"),
+                            storage_directory=str(tmp_path / "storage")),
+        security=SecurityConfig(secret_key="glwe-in-secret"),
+        mesh_workers=MeshWorkersConfig(glwe_frames=True, glwe_outputs=True,
+                                       glwe_inputs=True, engine="conv_i8"),
+    )
+    coord = Coordinator(cfg, engine="conv_i8")
+    try:
+        rng = np.random.default_rng(31)
+        ck, sk = ref_mod.keygen(TOY, rng)
+        pk = ref_mod.make_packing_key(ck, rng)
+        token = coord.authorize_connection("admin==true")
+        session = coord.create_session(token, "glwe-in")
+        kb = serialize_server_key(sk)
+        coord.add_key(token, session.uuid, SchemaType.TFHE_BOOL, len(kb),
+                      [kb])
+
+        # no packing key yet: the upload must FALL BACK to the row format
+        table0 = [(1, 2)]
+        rows0 = client_lib.encrypt_rows(ck, IN_COLS, table0, rng)
+        f0 = upload_rows(coord, token, session.uuid, "pre-key", IN_COLS,
+                         rows0, partitions=1)
+        assert not coord.storage.get_data_frame(session.uuid,
+                                                f0).glwe_packed
+
+        pkb = serialize_packing_key(pk)
+        coord.add_key(token, session.uuid, SchemaType.TFHE_PACKING,
+                      len(pkb), [pkb])
+
+        # with the key: ingest re-encodes the frame as packed GLWEs
+        table = [(9, 12), (255, 1), (0, 0), (77, 170), (5, 250)]
+        rows_ct = client_lib.encrypt_rows(ck, IN_COLS, table, rng)
+        frame_uuid = upload_rows(coord, token, session.uuid, "in", IN_COLS,
+                                 rows_ct, partitions=2)
+        entry = coord.storage.get_data_frame(session.uuid, frame_uuid)
+        assert entry.glwe_packed  # packed at ingest
+
+        job = coord.schedule_job(
+            token, session.uuid, build_plan(frame_uuid, Policy.PARALLEL))
+        done = coord.wait_for_job(token, session.uuid, job.job_uuid,
+                                  timeout=900)
+        assert done.status == JobStatus.COMPLETED, done.message
+
+        # every catalogued frame of the job lives in the GLWE domain
+        frames = {f.name: f for f in coord.list_data_frames(token,
+                                                            session.uuid)
+                  if f.name != "pre-key"}
+        assert frames and all(f.glwe_packed for f in frames.values()), \
+            {n: f.glwe_packed for n, f in frames.items()}
+
+        parts = list(coord.download_data_frame_packed(
+            token, session.uuid, frames["result"].uuid))
+        dec = client_lib.decrypt_rows_packed(ck, MAP_OUT_COLS, parts)
+        expect_x = 0
+        expect_odd = 0
+        for a, b in table:
+            expect_x ^= a ^ b
+            expect_odd ^= bin(a ^ b).count("1") & 1
+        assert dec[0]["x"] == expect_x and dec[0]["odd"] == expect_odd
+    finally:
+        coord.shutdown()
