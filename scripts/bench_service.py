@@ -132,6 +132,10 @@ def main() -> None:
         # (192x smaller at STD128_K2) so the device->host hop ships packed
         # GLWEs, not (n+1)-expanded rows; margin-gated in the runner
         # (14.1 sigma at STD128_K2, core/noise.glwe_frame_margin_sigma)
+        # glwe_inputs measured NEGATIVE on the job path (device unpack of
+        # a 16k-LWE input costs 5-7.7 s vs 0.2-1.4 s row load; pipelined
+        # sustained 6805 -> 2781 bs/s) — inputs stay rows; the flag
+        # remains available for wire/disk-bound deployments
         mesh_workers=None if args.row_frames else MeshWorkersConfig(
             engine=args.engine, glwe_frames=True, glwe_outputs=True,
             concurrent_jobs=2 if args.pipeline else 1),
