@@ -501,7 +501,13 @@ def bench_bootstrap(args) -> None:
     # chaining the two agree within 0.5%, which pins the observed 20%
     # cross-session swings on real device-side throughput variance, not
     # the measurement path (docs/BENCH_LOG.md round 3).
-    K = max(4, args.iters)
+    # Chain depth: the leg ends in one host fetch of the final batch
+    # (measurement robustness), and that fetch is NOT kernel work — at
+    # K=4 its amortized share biased every recorded headline ~15-20% low
+    # (K-sweep in one session: K=4 222.6 ms/batch, K=8 195.6, K=16 184.2
+    # — docs/BENCH_LOG.md round 5).  K=16 keeps the fetch anchor while
+    # pushing the end effect under ~2%; --iters above 16 deepens further.
+    K = max(16, args.iters)
 
     @jax.jit
     def chain_K(d, c):

@@ -49,17 +49,21 @@ def bootstrap_cost(p: TFHEParams) -> BootstrapCost:
 
 # Hardware-measured practical dot-efficiency anchors, keyed by the
 # flagship-class contraction window length WIN = 2N (the single-width
-# bsk_btTs/btT key's K dimension):
-#  - WIN=1024 (STD128_K2): mega13 dots-only ablation sustains 71.2% of the
-#    nameplate int8 rate (212.0 ms vs the 150.9 ms nameplate floor at
-#    B=2048; every non-dot cost measured <= 3.5+5.3 ms — BENCH_LOG r4).
-#  - WIN=4096 (N=2048 tier): mega16 measured 84.5% of nameplate
-#    END-TO-END (1614.1/s, BENCH_LOG r4) — a lower bound on its dot
+# bsk_btTs/btT key's K dimension).  RE-BASED to the K=16 deep-chain
+# measurement frame (round 5): the old K=4 legs folded the end-of-chain
+# host fetch into the kernel time, understating steady state 15-20%
+# (BENCH_LOG round 5 K-sweep).
+#  - WIN=1024 (STD128_K2): mega13 full kernel sustains 81.6% of nameplate
+#    END-TO-END (11,078.6/s at B=2048, 184.9 ms); the round-4 ablations
+#    showed the full kernel within 3.2% of its pure-dot bound, so the dot
+#    section's efficiency is ~0.84.
+#  - WIN=4096 (N=2048 tier): mega16 measured 88.2% of nameplate
+#    END-TO-END (1,685.2/s, K=16 frame) — a lower bound on its dot
 #    efficiency.
 # Between/beyond the anchors the factor is log2(WIN)-linear interpolated
 # and clamped; dot efficiency rises monotonically with contraction length
 # on the MXU (measured both ways, VERDICT r4 #3).
-_DOT_EFF_ANCHORS = ((1024, 0.712), (4096, 0.845))
+_DOT_EFF_ANCHORS = ((1024, 0.842), (4096, 0.882))
 
 
 def practical_dot_efficiency(p: TFHEParams) -> tuple[float, int, str]:
