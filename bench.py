@@ -651,7 +651,7 @@ def bench_bootstrap(args) -> None:
         f"=> {100 * rate / sol['roofline_bootstraps_per_sec']:.1f}% of "
         "nameplate speed-of-light, "
         f"{100 * rate / sol['practical_dot_ceiling_bootstraps_per_sec']:.1f}%"
-        " of the measured practical dot ceiling (BENCH_LOG r4 ablations)")
+        " of the measured practical dot ceiling (r5 deep-chain frame)")
 
     if n_bad_c:
         log(f"DECRYPT GATE FAILED on the adopted leg ({n_bad_c} bad bits) "
