@@ -504,10 +504,11 @@ def bench_bootstrap(args) -> None:
     # Chain depth: the leg ends in one host fetch of the final batch
     # (measurement robustness), and that fetch is NOT kernel work — at
     # K=4 its amortized share biased every recorded headline ~15-20% low
-    # (K-sweep in one session: K=4 222.6 ms/batch, K=8 195.6, K=16 184.2
-    # — docs/BENCH_LOG.md round 5).  K=16 keeps the fetch anchor while
-    # pushing the end effect under ~2%; --iters above 16 deepens further.
-    K = max(16, args.iters)
+    # (K-sweep in one session: K=4 222.6 ms/batch, K=8 195.6, K=16 184.2,
+    # K=32 178.5-183.1 — docs/BENCH_LOG.md round 5).  K=32 keeps the
+    # fetch anchor while pushing the end effect under ~1%; --iters above
+    # 32 deepens further.
+    K = max(32, args.iters)
 
     @jax.jit
     def chain_K(d, c):

@@ -53,17 +53,18 @@ def bootstrap_cost(p: TFHEParams) -> BootstrapCost:
 # measurement frame (round 5): the old K=4 legs folded the end-of-chain
 # host fetch into the kernel time, understating steady state 15-20%
 # (BENCH_LOG round 5 K-sweep).
-#  - WIN=1024 (STD128_K2): mega13 full kernel sustains 81.6% of nameplate
-#    END-TO-END (11,078.6/s at B=2048, 184.9 ms); the round-4 ablations
-#    showed the full kernel within 3.2% of its pure-dot bound, so the dot
-#    section's efficiency is ~0.84.
+#  - WIN=1024 (STD128_K2): mega13 full kernel sustains 84.4% of nameplate
+#    END-TO-END (11,456.7/s at B=2048, 178.8 ms, K=32 frame); the round-4
+#    ablations showed the full kernel within 3.2% of its pure-dot bound,
+#    so the dot section's efficiency is ~0.87.
 #  - WIN=4096 (N=2048 tier): mega16 measured 88.2% of nameplate
-#    END-TO-END (1,685.2/s, K=16 frame) — a lower bound on its dot
-#    efficiency.
+#    END-TO-END (1,685.2/s, K=16 frame; per-batch fetch share there is
+#    ~1%, so the K=32 correction is within noise) — a lower bound on its
+#    dot efficiency.
 # Between/beyond the anchors the factor is log2(WIN)-linear interpolated
 # and clamped; dot efficiency rises monotonically with contraction length
 # on the MXU (measured both ways, VERDICT r4 #3).
-_DOT_EFF_ANCHORS = ((1024, 0.842), (4096, 0.882))
+_DOT_EFF_ANCHORS = ((1024, 0.871), (4096, 0.882))
 
 
 def practical_dot_efficiency(p: TFHEParams) -> tuple[float, int, str]:
